@@ -1,0 +1,29 @@
+"""Core detection numerics: pure-jax, static-shape, fully vmappable.
+
+Parity bedrock for the framework (see SURVEY.md section 7 build order,
+stage 1). Every function here mirrors the observable numerics of an
+mmdet-2.13 primitive used by the reference AL pipeline, re-expressed as
+fixed-shape tensor programs that XLA can fuse and tile onto the MXU/VPU.
+"""
+
+from .bbox import bbox_overlaps, delta_encode, delta_decode, bbox_area
+from .anchors import AnchorGenerator, SSDAnchorGenerator, anchor_valid_flags
+from .assigner import max_iou_assign, anchor_targets
+from .losses import (
+    sigmoid_focal_loss,
+    edl_softmax_focal_loss,
+    edl_relu_loss,
+    l1_loss,
+    smooth_l1_loss,
+    softmax_cross_entropy,
+    weight_reduce_loss,
+)
+from .nms import multiclass_nms, batched_multiclass_nms
+from .dirichlet import dirichlet_mutual_information, dirichlet_mi_sampled
+from .hua import (
+    object_membership,
+    lambda_rescale,
+    hua_object_scores,
+    hua_scale_scores,
+    parse_agg_spec,
+)

@@ -1,0 +1,142 @@
+"""Max-IoU assignment and dense anchor-target construction.
+
+Behavioral parity targets (reference, /root/reference):
+* mmdet/core/bbox/assigners/max_iou_assigner.py:10 (assign_wrt_overlaps,
+  incl. the ordered low-quality matching of step 4)
+* mmdet/models/dense_heads/L_anchor_head.py:155-202 (_get_targets_single)
+* mmdet/core/bbox/samplers/pseudo_sampler.py (no sampling: all pos + neg)
+
+Unlike the reference's per-image python loops, this runs as one dense,
+fixed-shape program: GT boxes are padded to MAX_GT with a validity mask
+and the whole thing vmaps over the batch inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .bbox import bbox_overlaps, delta_encode
+
+
+def max_iou_assign(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchor_valid: jnp.ndarray | None = None,
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.4,
+    min_pos_iou: float = 0.0,
+    gt_max_assign_all: bool = True,
+    match_low_quality: bool = True,
+) -> jnp.ndarray:
+    """Assign each anchor a gt index following mmdet's 4-step MaxIoU rule.
+
+    Args:
+      anchors: [A, 4]; gt_boxes: [G, 4] padded; gt_valid: [G] bool;
+      anchor_valid: optional [A] bool — invalid anchors are removed from
+      the overlap matrix entirely (the reference assigns on the
+      inside_flags subset, which matters for step-4 per-gt maxima).
+
+    Returns assigned [A] int32 in mmdet's encoding:
+      -1 ignore (neg_thr <= max_iou < pos_thr and not low-quality matched),
+       0 background, g+1 assigned to gt g.
+
+    Step 4 (low-quality matching) iterates gts in order in the reference,
+    so a later gt overwrites an earlier one on ties — reproduced here by
+    taking the highest matching gt index per anchor.
+    """
+    num_gt = gt_boxes.shape[0]
+    overlaps = bbox_overlaps(gt_boxes, anchors)  # [G, A]
+    overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
+    if anchor_valid is not None:
+        overlaps = jnp.where(anchor_valid[None, :], overlaps, -1.0)
+
+    max_overlaps = overlaps.max(axis=0)  # per anchor, over valid gts (−1 if none)
+    argmax_overlaps = overlaps.argmax(axis=0)
+
+    assigned = jnp.full(anchors.shape[:1], -1, dtype=jnp.int32)
+    # step 2: negatives. Reference condition: 0 <= max < neg_thr. With no
+    # valid gt max_overlaps is -1 here while the reference short-circuits to
+    # all-background; handle that below.
+    assigned = jnp.where((max_overlaps >= 0) & (max_overlaps < neg_iou_thr), 0, assigned)
+    # step 3: positives
+    assigned = jnp.where(
+        max_overlaps >= pos_iou_thr, argmax_overlaps.astype(jnp.int32) + 1, assigned
+    )
+
+    if match_low_quality:
+        gt_max = overlaps.max(axis=1, keepdims=True)  # [G, 1]
+        if gt_max_assign_all:
+            cand = (overlaps == gt_max) & (gt_max >= min_pos_iou) & gt_valid[:, None]
+        else:
+            gt_arg = overlaps.argmax(axis=1)  # [G]
+            is_arg = jnp.zeros_like(overlaps, dtype=bool)
+            is_arg = is_arg.at[jnp.arange(num_gt), gt_arg].set(True)
+            cand = is_arg & (gt_max >= min_pos_iou) & gt_valid[:, None]
+        # last matching gt wins (reference overwrites in gt order)
+        gt_ids = jnp.arange(1, num_gt + 1, dtype=jnp.int32)[:, None]
+        lowq = jnp.max(jnp.where(cand, gt_ids, 0), axis=0)  # [A], 0 if none
+        assigned = jnp.where(lowq > 0, lowq, assigned)
+
+    # reference short-circuit: no gt at all -> everything background
+    assigned = jnp.where(jnp.any(gt_valid), assigned, 0)
+    return assigned
+
+
+class AnchorTargets(NamedTuple):
+    """Dense per-anchor training targets (all [A] / [A, ...])."""
+
+    labels: jnp.ndarray        # int32 [A]; num_classes = background
+    label_weights: jnp.ndarray  # float32 [A]; 1 for pos+neg, 0 for ignored/invalid
+    bbox_targets: jnp.ndarray  # float32 [A, 4] encoded deltas (0 for non-pos)
+    bbox_weights: jnp.ndarray  # float32 [A, 4]; 1 rows for pos
+    num_pos: jnp.ndarray       # int32 scalar: max(#pos, 1) (reference's per-image clamp)
+
+
+def anchor_targets(
+    anchors: jnp.ndarray,
+    anchor_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    num_classes: int,
+    target_means=(0.0, 0.0, 0.0, 0.0),
+    target_stds=(1.0, 1.0, 1.0, 1.0),
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.4,
+    min_pos_iou: float = 0.0,
+    gt_max_assign_all: bool = True,
+    pos_weight: float = -1.0,
+) -> AnchorTargets:
+    """Single-image anchor targets; vmap over the batch.
+
+    Mirrors _get_targets_single with allowed_border=-1 (no inside filter:
+    only `anchor_valid` — the pad-region flags — gates anchors) and
+    PseudoSampler (every assigned pos/neg is used). Invalid anchors get
+    background label with zero weight, reproducing the reference's
+    unmap(fill=num_classes) / unmap(fill=0).
+    """
+    assigned = max_iou_assign(
+        anchors, gt_boxes, gt_valid, anchor_valid=anchor_valid,
+        pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+        min_pos_iou=min_pos_iou, gt_max_assign_all=gt_max_assign_all,
+    )
+    pos = (assigned > 0) & anchor_valid
+    neg = (assigned == 0) & anchor_valid
+
+    gt_idx = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
+    matched_gt = gt_boxes[gt_idx]
+    labels = jnp.where(pos, gt_labels[gt_idx], num_classes).astype(jnp.int32)
+    pos_w = 1.0 if pos_weight <= 0 else float(pos_weight)
+    label_weights = jnp.where(pos, pos_w, 0.0) + jnp.where(neg, 1.0, 0.0)
+
+    deltas = delta_encode(anchors, matched_gt, means=target_means, stds=target_stds, eps=1e-6)
+    bbox_targets = jnp.where(pos[:, None], deltas, 0.0)
+    bbox_weights = jnp.where(pos[:, None], 1.0, 0.0) * jnp.ones((1, 4), deltas.dtype)
+
+    num_pos = jnp.maximum(pos.sum().astype(jnp.int32), 1)
+    return AnchorTargets(labels, label_weights.astype(jnp.float32),
+                         bbox_targets.astype(jnp.float32),
+                         bbox_weights.astype(jnp.float32), num_pos)
