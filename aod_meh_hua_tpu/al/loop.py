@@ -1,0 +1,261 @@
+"""The active-learning cycle orchestrator.
+
+Behavioral parity target (reference, /root/reference):
+* tools/train_RetinaNet.py:76-253 — per cycle: write split -> build a
+  FRESH detector (re-init weights incl. the uniform retina_cls bias) ->
+  train in three runs (outer epoch 0 trains twice: 'First Label Set
+  Training' then 'Fully-Supervised', outer epoch 1 once; each run is
+  epoch_ratio[0] inner epochs over RepeatDataset x X_L_repeat; lr resets
+  to base per run and steps x0.1 at epoch lr_step_epoch of the FINAL run
+  only) -> per-cycle checkpoint -> score the whole pool -> update_X_L
+  with zeroRate -> persist X_L/X_U/Unc npys.
+* mmdet/utils/functions.py:478 (ResumeCycle), tools driver load_cycle.
+
+Everything device-side is one of four compiled programs (train/score x
+landscape/portrait); this loop is plain host python + numpy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data import (
+    ConcatVOC, EvalLoader, PipelineConfig, TrainLoader, VOCDataset,
+    init_split, load_cycle_state, save_cycle_state, update_labeled_set,
+)
+from ..engine import (
+    create_train_state, detections_to_per_class, make_eval_step,
+    make_train_step, schedule_lr,
+)
+from ..engine.checkpoint import load_checkpoint, save_cycle_checkpoint
+from ..engine.train import set_learning_rate
+from ..models import init_retinanet
+from ..utils.config import ALConfig, RetinaNetConfig, TrainConfig
+from ..utils.voc_eval import eval_map
+from .uncertainty import score_pool
+
+ORIENTATIONS = ("landscape", "portrait")
+
+
+@dataclass
+class ALPaths:
+    voc07: str                 # .../VOC2007
+    voc12: Optional[str]       # .../VOC2012 (None for voc07-only runs)
+    work_dir: str
+    trainval07: Optional[str] = None  # default: ImageSets/Main/trainval.txt
+    trainval12: Optional[str] = None
+    test07: Optional[str] = None      # default: ImageSets/Main/test.txt
+
+    def __post_init__(self):
+        j = os.path.join
+        self.trainval07 = self.trainval07 or j(self.voc07, "ImageSets/Main/trainval.txt")
+        if self.voc12:
+            self.trainval12 = self.trainval12 or j(self.voc12, "ImageSets/Main/trainval.txt")
+        self.test07 = self.test07 or j(self.voc07, "ImageSets/Main/test.txt")
+        self.save_dir = j(self.work_dir, "model_save")
+
+
+class ALDriver:
+    """Runs the full AL experiment. All jitted programs are built lazily
+    per orientation and cached across cycles."""
+
+    def __init__(
+        self,
+        model_cfg: RetinaNetConfig,
+        train_cfg: TrainConfig,
+        al_cfg: ALConfig,
+        paths: ALPaths,
+        pipeline: Optional[PipelineConfig] = None,
+        validate: bool = True,
+        name: str = "retinanet_meh",
+        log: Optional[callable] = print,
+    ):
+        self.cfg = model_cfg
+        self.tcfg = train_cfg
+        self.al = al_cfg
+        self.paths = paths
+        self.pipeline = pipeline or PipelineConfig(canvas=model_cfg.canvas)
+        self.validate = validate
+        self.name = name
+        self.log = log or (lambda *a, **k: None)
+        self.rng = np.random.RandomState(train_cfg.seed)
+
+        datasets = [VOCDataset(paths.trainval07, paths.voc07)]
+        if paths.voc12:
+            datasets.append(VOCDataset(paths.trainval12, paths.voc12))
+        self.pool = ConcatVOC(datasets)
+        self.val = VOCDataset(paths.test07, paths.voc07, test_mode=True) if validate else None
+
+        self._train_steps: Dict[str, callable] = {}
+        self._score_steps: Dict[str, callable] = {}
+        self._eval_steps: Dict[str, callable] = {}
+        self.model = None
+        self.tx = None
+        self.metrics: List[dict] = []
+        # optional hook: variables -> variables (e.g. pretrained backbone)
+        self.pretrained_loader = None
+
+    # ----- program cache -----
+
+    def _train_step(self, orientation: str):
+        if orientation not in self._train_steps:
+            self._train_steps[orientation] = make_train_step(
+                self.model, self.cfg.for_orientation(orientation), self.tx
+            )
+        return self._train_steps[orientation]
+
+    def _eval_step(self, orientation: str):
+        if orientation not in self._eval_steps:
+            self._eval_steps[orientation] = make_eval_step(
+                self.model, self.cfg.for_orientation(orientation)
+            )
+        return self._eval_steps[orientation]
+
+    # ----- phases -----
+
+    def _fresh_model(self, cycle: int):
+        seed = self.tcfg.seed + cycle  # fresh init each cycle (driver :156-162)
+        model, variables = init_retinanet(self.cfg, jax.random.PRNGKey(seed))
+        if self.pretrained_loader is not None:
+            variables = self.pretrained_loader(variables)
+        if self.model is None:
+            # first cycle: build optimizer once; compiled programs are
+            # config-shaped, so they survive re-initialized variables
+            self.model = model
+            state, self.tx = create_train_state(self.model, variables, self.tcfg,
+                                                frozen_stages=self.cfg.frozen_stages)
+            return state
+        from ..engine.train import TrainState
+        import jax.numpy as jnp
+
+        return TrainState(
+            jnp.zeros((), jnp.int32), variables["params"],
+            variables.get("batch_stats", {}), self.tx.init(variables["params"]),
+        )
+
+    def _train_run(self, state, x_l, run_seed: int, is_final_run: bool):
+        loader = TrainLoader(
+            self.pool, x_l, self.cfg, self.pipeline,
+            batch_size=self.tcfg.batch_size, repeat=self.al.x_l_repeat,
+            seed=run_seed,
+        )
+        n_inner = self.tcfg.epoch_ratio[0]
+        for inner in range(n_inner):
+            lr = self.tcfg.lr * (0.1 if (is_final_run and inner >= self.tcfg.lr_step_epoch) else 1.0)
+            state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
+            t0, n_iter, loss_sum = time.time(), 0, 0.0
+            for orientation, batch in loader:
+                state, aux = self._train_step(orientation)(state, batch)
+                n_iter += 1
+                loss_sum += float(aux["loss"])
+            dt = time.time() - t0
+            self.log(
+                f"    epoch done: {n_iter} iters, mean loss "
+                f"{loss_sum / max(n_iter, 1):.4f}, lr {lr:g}, {dt:.1f}s"
+            )
+        return state
+
+    def evaluate(self, variables) -> float:
+        assert self.val is not None
+        loader = EvalLoader(self.val, np.arange(len(self.val)), self.pipeline,
+                            batch_size=self.tcfg.batch_size)
+        results, annotations = [], []
+        order = []
+        for orientation, batch, idx in loader:
+            dets = self._eval_step(orientation)(variables, batch)
+            results.extend(detections_to_per_class(dets, self.cfg.num_classes,
+                                                   np.asarray(batch.valid)))
+            order.extend(idx.tolist())
+        annotations = [self.val.get_ann_info(i) for i in order]
+        out = eval_map(results, annotations, iou_thr=0.5, mode="11points")
+        return out["mAP"]
+
+    def _variables(self, state):
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ----- the main loop -----
+
+    def run(self, resume_cycle: int = -1, load_cycle: int = -1):
+        os.makedirs(self.paths.work_dir, exist_ok=True)
+        x_l, x_u, x_all = init_split(len(self.pool), self.al.x_l_0_size, self.rng)
+        save_cycle_state(self.paths.work_dir, 0, x_l, x_u)
+        resumed = resume_cycle < 0
+
+        for cycle in self.al.cycles:
+            if not resumed:
+                if cycle < resume_cycle:
+                    continue
+                loaded = load_cycle_state(self.paths.work_dir, resume_cycle)
+                assert loaded is not None, f"no saved state for cycle {resume_cycle}"
+                x_l, x_u = loaded
+                resumed = True
+
+            self.log(f"== cycle {cycle}: |X_L|={len(x_l)} |X_U|={len(x_u)} ==")
+            state = self._fresh_model(cycle)
+            if load_cycle >= 0:
+                from ..engine.checkpoint import cycle_ckpt_path
+
+                path = cycle_ckpt_path(self.paths.save_dir, self.name, load_cycle,
+                                       self.tcfg.epoch_ratio[0])
+                state = state._replace(params=load_checkpoint(path, state.params))
+                self.log(f"  loaded params from {path}")
+
+            # three training runs: outer 0 twice, final outer once
+            runs = []
+            for outer in range(self.tcfg.outer_epoch):
+                n_runs = 2 if outer == 0 else 1
+                for r in range(n_runs):
+                    runs.append((outer, r))
+            for ri, (outer, r) in enumerate(runs):
+                is_final = ri == len(runs) - 1
+                self.log(f"  train run {ri + 1}/{len(runs)} (outer {outer})")
+                state = self._train_run(state, x_l, self.tcfg.seed + cycle * 100 + ri, is_final)
+
+            if self.validate:
+                mAP = self.evaluate(self._variables(state))
+                self.log(f"  cycle {cycle} VOC mAP: {mAP:.4f}")
+                self.metrics.append({"cycle": cycle, "mAP": mAP, "n_labeled": int(len(x_l))})
+                with open(os.path.join(self.paths.work_dir, "metrics.json"), "w") as f:
+                    json.dump(self.metrics, f, indent=2)
+
+            save_cycle_checkpoint(
+                self.paths.save_dir, self.name, cycle, self.tcfg.epoch_ratio[0],
+                self._variables(state),
+            )
+
+            if cycle != self.al.cycles[-1]:
+                self.log("  scoring pool ...")
+                loader = EvalLoader(self.pool, np.arange(len(self.pool)), self.pipeline,
+                                    batch_size=self.tcfg.batch_size)
+                t0 = time.time()
+                unc, mconf = score_pool(
+                    self.model, self._variables(state), self.cfg, loader,
+                    len(self.pool), rng=self.rng, steps=self._score_steps_cache(),
+                )
+                dt = time.time() - t0
+                self.log(f"  pool scored: {len(self.pool)} imgs in {dt:.1f}s "
+                         f"({len(self.pool) / dt:.1f} img/s)")
+                x_l, x_u = update_labeled_set(
+                    unc, x_all, x_l, self.al.x_s_size, self.rng,
+                    zero_rate=self.al.zero_rate, max_conf=mconf,
+                    use_max_conf=self.al.use_max_conf,
+                )
+                save_cycle_state(self.paths.work_dir, cycle + 1, x_l, x_u, unc)
+        return self.metrics
+
+    def _score_steps_cache(self):
+        if self.cfg.hua.pool == "Random":
+            return None
+        if not self._score_steps:
+            from ..engine.score import make_score_step
+
+            for o in ORIENTATIONS:
+                self._score_steps[o] = make_score_step(self.model, self.cfg.for_orientation(o))
+        return self._score_steps

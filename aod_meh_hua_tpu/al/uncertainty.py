@@ -1,0 +1,65 @@
+"""Pool scoring dispatch: run the jitted score step over the whole pool.
+
+Behavioral parity targets (reference, /root/reference):
+* mmdet/apis/test.py:19-63 (Uncertainty_fns: Random = randperm;
+  Entropy_* = full-pool sweep), :65-70 (calculate_uncertainty dispatch),
+  :90-135 (single_gpu_uncertainty).
+
+The sweep is sharded by orientation-grouped batches; scores scatter back
+to dataset order, so the returned array indexes identically to the
+reference's uncertainty vector (dataset order == X_all index space).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.loader import EvalLoader
+from ..engine.score import make_score_step
+from ..utils.config import RetinaNetConfig
+
+
+def score_pool(
+    model,
+    variables,
+    cfg: RetinaNetConfig,
+    loader: EvalLoader,
+    num_images: int,
+    rng: Optional[np.random.RandomState] = None,
+    key: Optional[jax.Array] = None,
+    progress: bool = False,
+    steps: Optional[Dict[str, object]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Score every pool image; one compiled step per orientation (the
+    module is shape-polymorphic, the jitted programs are not). Returns
+    (uncertainty [N], max_conf [N]) in dataset order."""
+    if cfg.hua.pool == "Random":
+        assert rng is not None
+        return rng.permutation(num_images).astype(np.float64), np.zeros(num_images)
+
+    if steps is None:
+        steps = {
+            o: make_score_step(model, cfg.for_orientation(o))
+            for o in ("landscape", "portrait")
+        }
+    unc = np.zeros(num_images, np.float64)
+    mconf = np.zeros(num_images, np.float64)
+    t0 = time.time()
+    n_done = 0
+    for orientation, batch, idx in loader:
+        u, mc = steps[orientation](variables, batch, key) if key is not None else \
+            steps[orientation](variables, batch)
+        u = np.asarray(u)[: len(idx)]
+        mc = np.asarray(mc)[: len(idx)]
+        valid = np.asarray(batch.valid)[: len(idx)]
+        unc[idx[valid]] = u[valid]
+        mconf[idx[valid]] = mc[valid]
+        n_done += int(valid.sum())
+        if progress and n_done % 512 < len(idx):
+            rate = n_done / max(time.time() - t0, 1e-9)
+            print(f"  scored {n_done}/{num_images} ({rate:.1f} img/s)")
+    return unc, mconf

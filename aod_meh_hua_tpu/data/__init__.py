@@ -1,0 +1,13 @@
+"""Data layer: VOC datasets, deterministic preprocessing, fixed-shape batching.
+
+TPU-first replacement for the reference's mmcv pipeline + DataContainer
+collate (SURVEY.md section 2.8): every sample is resized keep-ratio,
+normalized, and padded into ONE static canvas so the jitted steps compile
+once; GT pads to max_gt with validity masks; per-image anchor-validity
+masks are precomputed on the host.
+"""
+
+from .voc import VOCDataset, VOC_CLASSES, ConcatVOC
+from .pipeline import PipelineConfig, prepare_sample
+from .loader import TrainLoader, EvalLoader
+from .splits import init_split, update_labeled_set, save_cycle_state, load_cycle_state

@@ -1,0 +1,212 @@
+"""Batch loaders: host-side assembly of fixed-shape device batches.
+
+Replaces the reference's torch DataLoader + GroupSampler + DataContainer
+collate/scatter stack (mmdet/datasets/builder.py:76-147, samplers/
+group_sampler.py). Design:
+
+* Batches are ORIENTATION-HOMOGENEOUS: the reference's GroupSampler
+  batches same-aspect images so the per-batch pad converges to one of two
+  shapes; here that becomes two static canvases (landscape / portrait)
+  and each batch is tagged with its orientation so the driver dispatches
+  to the matching compiled program.
+* TrainLoader: seeded shuffle of whole same-orientation batches,
+  dataset-repeat multiplier (RepeatDataset semantics), GT padded to
+  max_gt, per-image anchor validity from the /32 pad extent.
+* EvalLoader: sequential sweep per orientation group; the tail batch is
+  padded to full size and flagged invalid; batches carry their source
+  indices so pool scores scatter back to pool order.
+* Both prefetch batches on a background thread (double buffering against
+  device step time), the host analog of the reference's worker pool.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence, Tuple
+
+import numpy as np
+
+from ..engine.batch import Batch, EvalBatch
+from ..ops.anchors import AnchorGenerator, anchor_valid_flags
+from ..utils.config import RetinaNetConfig
+from .pipeline import PipelineConfig, load_image, prepare_sample
+
+ORIENTATIONS = ("landscape", "portrait")
+
+
+class _Prefetcher:
+    """Run a batch-producing generator on a background thread."""
+
+    def __init__(self, gen_fn, depth: int = 3):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._worker, args=(gen_fn,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, gen_fn):
+        try:
+            for item in gen_fn():
+                self._q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            self._q.put(e)
+        self._q.put(StopIteration)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is StopIteration:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+
+def _pad_gt(samples, max_gt):
+    b = len(samples)
+    boxes = np.zeros((b, max_gt, 4), np.float32)
+    labels = np.zeros((b, max_gt), np.int32)
+    valid = np.zeros((b, max_gt), bool)
+    for i, s in enumerate(samples):
+        n = min(len(s["gt_labels"]), max_gt)
+        boxes[i, :n] = s["gt_bboxes"][:n]
+        labels[i, :n] = s["gt_labels"][:n]
+        valid[i, :n] = True
+    return boxes, labels, valid
+
+
+def _orientation_of(dataset, idx: int) -> str:
+    return "landscape" if dataset.aspect_flag(int(idx)) else "portrait"
+
+
+class TrainLoader:
+    """Yields (orientation, Batch) pairs."""
+
+    def __init__(
+        self,
+        dataset,
+        indices: Sequence[int],
+        model_cfg: RetinaNetConfig,
+        pipeline: PipelineConfig,
+        batch_size: int,
+        repeat: int = 1,
+        seed: int = 20,
+        prefetch: bool = True,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.cfg = model_cfg
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.repeat = repeat
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+        self._gen = AnchorGenerator(
+            strides=model_cfg.anchor.strides, ratios=model_cfg.anchor.ratios,
+            octave_base_scale=model_cfg.anchor.octave_base_scale,
+            scales_per_octave=model_cfg.anchor.scales_per_octave,
+        )
+
+    def __len__(self):
+        n = 0
+        for o in ORIENTATIONS:
+            k = sum(1 for i in np.repeat(self.indices, self.repeat)
+                    if _orientation_of(self.dataset, i) == o)
+            n += (k + self.batch_size - 1) // self.batch_size if k else 0
+        return n
+
+    def _epoch_batches(self):
+        idx = np.repeat(self.indices, self.repeat)
+        groups = {o: [] for o in ORIENTATIONS}
+        for i in idx:
+            groups[_orientation_of(self.dataset, i)].append(i)
+        batches = []
+        for o, grp in groups.items():
+            grp = np.asarray(grp)
+            self.rng.shuffle(grp)
+            for i in range(0, len(grp), self.batch_size):
+                batches.append((o, grp[i:i + self.batch_size]))
+        order = self.rng.permutation(len(batches))
+        return [batches[i] for i in order]
+
+    def _make_batch(self, orientation: str, batch_idx: np.ndarray) -> Batch:
+        samples = []
+        for i in batch_idx:
+            img = load_image(self.dataset.img_path(int(i)))
+            ann = self.dataset.get_ann_info(int(i))
+            samples.append(prepare_sample(img, ann, self.pipeline, rng=self.rng))
+        while len(samples) < self.batch_size:  # short tail: repeat to keep shape
+            samples.append(samples[len(samples) % max(1, len(batch_idx))])
+        images = np.stack([s["image"] for s in samples])
+        boxes, labels, valid = _pad_gt(samples, self.cfg.max_gt)
+        pad_shapes = np.stack([s["pad_shape"] for s in samples])
+        sizes = self.cfg.for_orientation(orientation).featmap_sizes()
+        av = anchor_valid_flags(self._gen, sizes, pad_shapes)
+        shapes = np.stack([s["img_shape"] for s in samples])
+        return Batch(images, boxes, labels, valid, av, shapes)
+
+    def __iter__(self) -> Iterator[Tuple[str, Batch]]:
+        plan = self._epoch_batches()
+
+        def gen():
+            for o, bi in plan:
+                yield o, self._make_batch(o, bi)
+
+        return iter(_Prefetcher(gen)) if self.prefetch else gen()
+
+
+class EvalLoader:
+    """Yields (orientation, EvalBatch, indices) triples, grouped by
+    orientation; `indices` maps each row back to the source index."""
+
+    def __init__(
+        self,
+        dataset,
+        indices: Sequence[int],
+        pipeline: PipelineConfig,
+        batch_size: int,
+        prefetch: bool = True,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = 0
+        for o in ORIENTATIONS:
+            k = sum(1 for i in self.indices if _orientation_of(self.dataset, i) == o)
+            n += (k + self.batch_size - 1) // self.batch_size if k else 0
+        return n
+
+    def _make_batch(self, batch_idx: np.ndarray) -> EvalBatch:
+        samples, valid = [], []
+        for i in batch_idx:
+            img = load_image(self.dataset.img_path(int(i)))
+            samples.append(prepare_sample(img, None, self.pipeline, flip=False))
+            valid.append(True)
+        while len(samples) < self.batch_size:
+            samples.append(samples[-1])
+            valid.append(False)
+        return EvalBatch(
+            np.stack([s["image"] for s in samples]),
+            np.stack([s["img_shape"] for s in samples]),
+            np.stack([s["scale_factor"] for s in samples]),
+            np.asarray(valid),
+        )
+
+    def __iter__(self):
+        groups = {o: [] for o in ORIENTATIONS}
+        for i in self.indices:
+            groups[_orientation_of(self.dataset, i)].append(int(i))
+
+        def gen():
+            for o in ORIENTATIONS:
+                grp = np.asarray(groups[o], dtype=np.int64)
+                for i in range(0, len(grp), self.batch_size):
+                    bi = grp[i:i + self.batch_size]
+                    yield o, self._make_batch(bi), bi
+
+        return iter(_Prefetcher(gen)) if self.prefetch else gen()

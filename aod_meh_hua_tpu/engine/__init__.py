@@ -1,0 +1,13 @@
+"""Train / eval / score engine: one jit-compiled step per pipeline.
+
+The reference's Runner + hooks + dual-optimizer machinery (SURVEY.md
+section 2.3) collapses into three pure functions over pytrees:
+train_step (supervised + MEH phases fused in a single backward),
+eval_step (forward -> decode -> NMS), and score_step (forward -> NMS ->
+Dirichlet MI -> HUA), each built once per config and jit-compiled.
+"""
+
+from .batch import Batch, EvalBatch
+from .train import TrainState, create_train_state, make_train_step, schedule_lr
+from .eval import make_eval_step, detections_to_per_class
+from .score import make_score_step

@@ -1,0 +1,61 @@
+"""Checkpointing: msgpack-serialized pytrees + per-cycle AL state.
+
+Behavioral parity target (reference, /root/reference):
+* tools/train_RetinaNet.py:213-219 — per-cycle model snapshot
+  '{cfg}_Cycle{c}_Epoch{e}_mycode.pth' with GC of stale snapshots
+* mmdet/utils/Epoch_Based_Runner_Lambda.py:144-169 — epoch checkpoints +
+  'latest' pointer
+* mmdet/utils/functions.py:364-367 (DelJunkSave)
+
+Two-level recovery like the reference: AL-cycle state lives in npy files
+(data/splits.py), model/optimizer state here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.serialization as fser
+
+
+def save_checkpoint(path: str, tree: Any) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(fser.to_bytes(tree))
+    return path
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    with open(path, "rb") as f:
+        return fser.from_bytes(target, f.read())
+
+
+def cycle_ckpt_path(save_dir: str, name: str, cycle: int, epoch: int) -> str:
+    return os.path.join(save_dir, f"{name}_Cycle{cycle}_Epoch{epoch}_mycode.ckpt")
+
+
+def latest_path(save_dir: str) -> str:
+    return os.path.join(save_dir, "latest.ckpt")
+
+
+def save_cycle_checkpoint(save_dir: str, name: str, cycle: int, epoch: int, tree: Any,
+                          keep_only_cycle: bool = True) -> str:
+    """Save the per-cycle snapshot; GC non-cycle checkpoints (the
+    reference deletes every file without '_mycode', :214-216)."""
+    os.makedirs(save_dir, exist_ok=True)
+    if keep_only_cycle:
+        for f in os.listdir(save_dir):
+            if f.endswith(".ckpt") and "_mycode" not in f:
+                os.remove(os.path.join(save_dir, f))
+    path = cycle_ckpt_path(save_dir, name, cycle, epoch)
+    save_checkpoint(path, tree)
+    # 'latest' pointer (the runner's latest.pth symlink equivalent)
+    lp = latest_path(save_dir)
+    if os.path.islink(lp) or os.path.exists(lp):
+        os.remove(lp)
+    try:
+        os.symlink(os.path.basename(path), lp)
+    except OSError:
+        save_checkpoint(lp, tree)
+    return path

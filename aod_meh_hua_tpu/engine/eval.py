@@ -1,0 +1,64 @@
+"""Evaluation engine: jitted detection step + host-side VOC mAP.
+
+Behavioral parity targets (reference, /root/reference):
+* mmdet/apis/test.py:138-195 (single_gpu_test: eval-mode inference with
+  rescale=True) -> Lambda_L2.simple_test else-branch -> get_bboxes with
+  NMS -> bbox2result (mmdet/core/bbox/transforms.py:99)
+* mmdet/core/evaluation/eval_hooks.py + datasets/voc.py:27 (mAP eval).
+
+The jit region covers forward -> score transform -> topk -> decode ->
+rescale -> fixed-shape NMS; only the final [B, max_per_img] detections
+cross to the host, where eval_map (utils/voc_eval.py) computes VOC mAP.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import batched_multiclass_nms
+from ..utils.config import RetinaNetConfig
+from .batch import EvalBatch
+from .postprocess import make_candidate_selector
+
+
+def make_eval_step(model, cfg: RetinaNetConfig):
+    select = make_candidate_selector(cfg)
+    t = cfg.test
+
+    def eval_step(variables, batch: EvalBatch):
+        cls_scores, bbox_preds, _ = model.apply(variables, batch.images, with_meh=False)
+        cand = select(cls_scores, bbox_preds, None, batch.img_shapes)
+        # rescale to original image coordinates before NMS (reference
+        # divides batch_mlvl_bboxes by scale_factors, Lambda_L2.py:307-308)
+        boxes = cand.boxes / batch.scale_factors[:, None, :]
+        dets = batched_multiclass_nms(
+            boxes, cand.scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
+        )
+        return dets
+
+    return jax.jit(eval_step)
+
+
+def detections_to_per_class(dets, num_classes: int, batch_valid=None) -> List[List[np.ndarray]]:
+    """Device NMSResult -> the reference's bbox2result format:
+    per image, per class float32 arrays [k, 5] (x1, y1, x2, y2, score)."""
+    boxes = np.asarray(dets.boxes)
+    scores = np.asarray(dets.scores)
+    labels = np.asarray(dets.labels)
+    valid = np.asarray(dets.valid)
+    out = []
+    for i in range(boxes.shape[0]):
+        if batch_valid is not None and not batch_valid[i]:
+            continue
+        per_cls = []
+        for c in range(num_classes):
+            m = valid[i] & (labels[i] == c)
+            per_cls.append(
+                np.concatenate([boxes[i][m], scores[i][m][:, None]], axis=1).astype(np.float32)
+            )
+        out.append(per_cls)
+    return out

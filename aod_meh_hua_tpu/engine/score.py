@@ -1,0 +1,115 @@
+"""Pool-scoring engine: the framework's signature path, fully on-device.
+
+Behavioral parity targets (reference, /root/reference):
+* mmdet/apis/test.py:90-135 (single_gpu_uncertainty driving the pool)
+* mmdet/models/dense_heads/Lambda_L2.py:254-384 (_get_bboxes isUnc
+  routing), :343-349 (GetObjectIdx), :489-537 (ComputeObjUnc),
+  :597-619 (AggregateObjScaleUnc), :539-569/:636-691 (scale variants)
+* mmdet/utils/functions.py:467-476 (getMaxConf)
+
+The reference's scoring loop is host-bound: python triple loops with a
+device sync per dict entry (SURVEY.md section 3.2). Here ONE jit region
+per batch computes forward -> topk -> decode -> NMS -> membership ->
+closed-form Dirichlet MI -> HUA aggregation and emits a single [B]
+score vector (+ [B] max-confidence), so the whole 16k-image pool sweep
+is device-resident compute with one scalar readback per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dirichlet import dirichlet_mi_sampled, dirichlet_mutual_information
+from ..ops.hua import hua_object_scores, hua_scale_scores, object_membership, parse_agg_spec
+from ..ops.nms import batched_multiclass_nms
+from ..utils.config import RetinaNetConfig
+from .batch import EvalBatch
+from .postprocess import make_candidate_selector, transform_scores
+
+
+def _mi_fn(cfg: RetinaNetConfig, key: Optional[jax.Array]):
+    if cfg.hua.mi_mode == "sampled":
+        assert key is not None, "sampled MI mode needs a PRNG key"
+        return functools.partial(
+            dirichlet_mi_sampled, key, num_samples=cfg.hua.mi_samples, chunk=cfg.hua.mi_chunk
+        )
+    return dirichlet_mutual_information
+
+
+def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
+    """Returns score_step(variables, batch, key=None) -> (unc [B], maxconf [B]).
+
+    Dispatches on cfg.hua.pool: Entropy_NMS (HUA over NMS objects),
+    Entropy_ALL / Entropy_NoNMS (scale/class aggregation over full maps;
+    NoNMS applies no lambda rescale, matching the reference's pathway
+    that passes no L_scores). 'Random' is host-side (al/uncertainty.py).
+    """
+    select = make_candidate_selector(cfg)
+    agg = parse_agg_spec(cfg.hua.agg)
+    hua = cfg.hua
+    t = cfg.test
+    unc_type = {"epistemic": "epistemic", "aleatoric": "aleatoric", "total": "total",
+                "shannon": "total"}[hua.unc_type.lower()]
+    full_bounds = cfg.level_bounds()
+
+    def _maxconf(cls_scores: jnp.ndarray) -> jnp.ndarray:
+        # getMaxConf: per-image max softmax probability over every level
+        probs = jax.nn.softmax(cls_scores, axis=-1)
+        return probs.reshape(probs.shape[0], -1).max(axis=-1)
+
+    def score_nms(variables, batch: EvalBatch, key: Optional[jax.Array] = None):
+        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
+        cand = select(cls_scores, bbox_preds, lambdas, batch.img_shapes)
+        # the reference pool sweep runs rescale=True (apis/test.py:115);
+        # membership IoUs are scale-invariant but we match exactly
+        boxes = cand.boxes / batch.scale_factors[:, None, :]
+        cand = cand._replace(boxes=boxes)
+        dets = batched_multiclass_nms(
+            cand.boxes, cand.scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
+        )
+        member = jax.vmap(
+            functools.partial(object_membership, score_thr=hua.obj_score_thr, iou_thr=hua.memb_iou_thr)
+        )(cand.boxes, dets.boxes, dets.scores, dets.valid)
+        unc = jax.vmap(
+            functools.partial(
+                hua_object_scores,
+                level_bounds=cand.bounds, agg=agg,
+                fg_score_thr=hua.fg_score_thr, lambda_eps=hua.lambda_eps,
+                lambda_scale=hua.lambda_scale, unc_type=unc_type, mi_fn=_mi_fn(cfg, key),
+            )
+        )(cand.scores, cand.lambdas, member)
+        return unc, _maxconf(cls_scores)
+
+    def score_scale(variables, batch: EvalBatch, key: Optional[jax.Array] = None):
+        with_lambda = hua.pool == "Entropy_ALL"
+        cls_scores, bbox_preds, lambdas = model.apply(
+            variables, batch.images, with_meh=with_lambda
+        )
+        mi = _mi_fn(cfg, key)
+
+        def per_image(cls_i, lam_i):
+            levels = [transform_scores(cls_i[s0:s1][None])[0] for (s0, s1) in full_bounds]
+            lams = None
+            if with_lambda:
+                lams = [lam_i[s0:s1] for (s0, s1) in full_bounds]
+            return hua_scale_scores(
+                levels, lams, agg, fg_score_thr=hua.fg_score_thr,
+                lambda_eps=hua.lambda_eps, lambda_scale=hua.lambda_scale,
+                unc_type=unc_type, mi_fn=mi,
+            )
+
+        lam_arg = lambdas if with_lambda else jnp.zeros_like(cls_scores[..., 0])
+        unc = jax.vmap(per_image)(cls_scores, lam_arg)
+        return unc, _maxconf(cls_scores)
+
+    if hua.pool == "Entropy_NMS":
+        fn = score_nms
+    elif hua.pool in ("Entropy_ALL", "Entropy_NoNMS"):
+        fn = score_scale
+    else:
+        raise ValueError(f"score step does not handle pool {hua.pool!r}")
+    return jax.jit(fn)

@@ -1,0 +1,198 @@
+"""Training engine: one jitted step fusing the supervised + MEH phases.
+
+Behavioral parity targets (reference, /root/reference):
+* mmdet/utils/Epoch_Based_Runner_Lambda.py:20-38 — per-iter two-phase
+  update: (1) main loss backward + SGD step on trunk params, (2) MEH loss
+  on the *pre-update* per-anchor cls loss, backward + SGD step on the
+  lambda branch only.
+* mmdet/apis/train_Lambda.py:41-48 — main optimizer excludes retina_L /
+  L_convs; a second SGD(lr, momentum, wd) covers exactly those.
+* mmdet/models/dense_heads/Lambda_L2.py:106-121 (supervised loss_single
+  incl. the unreduced loss_noR), :235-252 (MEH loss
+  mean((|lambda - loss| * w)^2) * 5 per level).
+* L_anchor_head.py:290-320 (loss: targets, num_total_samples = sum of
+  per-image max(#pos, 1)).
+
+TPU redesign: because the MEH branch consumes stop_gradient(features) and
+regresses stop_gradient(loss_noR), the gradient of (main_loss + meh_loss)
+partitions exactly as the reference's two backwards — one fused backward
+pass + one optimizer update implements both phases, with the MEH target
+being the pre-update loss by construction. Weight decay / momentum act
+per-parameter so a single SGD chain is update-for-update identical to the
+reference's two optimizers. frozen_stages is an optimizer mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import anchor_targets, AnchorGenerator
+from ..ops.losses import (
+    edl_softmax_focal_loss,
+    l1_loss,
+    sigmoid_focal_loss_elementwise,
+)
+from ..utils.config import RetinaNetConfig, TrainConfig
+from .batch import Batch
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def frozen_mask(params: Any, frozen_stages: int = 1) -> Any:
+    """True for params the optimizer must not touch (reference
+    frozen_stages=1: backbone stem + layer1; resnet.py:305 semantics)."""
+    frozen_prefixes = ["conv1", "bn1"] + [f"layer{i}_" for i in range(1, frozen_stages + 1)]
+
+    def mask_path(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if keys and keys[0] == "backbone":
+            return any(keys[1].startswith(p) for p in frozen_prefixes)
+        return False
+
+    return jax.tree_util.tree_map_with_path(mask_path, params)
+
+
+def make_optimizer(tcfg: TrainConfig, params: Any, frozen_stages: int = 1):
+    """SGD(momentum, wd) in torch's exact form: buf = mu*buf + (g + wd*p);
+    p -= lr*buf. The lr is injected so schedule changes don't recompile."""
+
+    def _tx(learning_rate):
+        chain = [
+            optax.add_decayed_weights(tcfg.weight_decay),
+            optax.trace(decay=tcfg.momentum),
+        ]
+        if tcfg.grad_clip:
+            chain.insert(0, optax.clip_by_global_norm(tcfg.grad_clip))
+        chain.append(optax.scale(-1.0))
+        chain.append(optax.scale_by_learning_rate(learning_rate, flip_sign=False))
+        return optax.chain(*chain)
+
+    inner = optax.inject_hyperparams(_tx)(learning_rate=tcfg.lr)
+    tx = optax.chain(inner, optax.masked(optax.set_to_zero(), frozen_mask(params, frozen_stages)))
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Functionally update the injected learning rate."""
+    inner = opt_state[0]
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    return (inner._replace(hyperparams=hp),) + tuple(opt_state[1:])
+
+
+def schedule_lr(tcfg: TrainConfig, outer_epoch: int, inner_epoch: int) -> float:
+    """The driver's effective schedule (tools/train_RetinaNet.py:179-200):
+    lr reset to base each outer epoch; x0.1 step at lr_step_epoch of the
+    final outer epoch only."""
+    lr = tcfg.lr
+    if outer_epoch == tcfg.outer_epoch - 1 and inner_epoch >= tcfg.lr_step_epoch:
+        lr = lr * 0.1
+    return lr
+
+
+def create_train_state(model, variables, tcfg: TrainConfig, frozen_stages: int = 1):
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(tcfg, params, frozen_stages)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
+
+
+def _meh_regression(lam: jnp.ndarray, target: jnp.ndarray, w: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Per-level MEH loss (Lambda_L2.py:235-252 and the L1/MSLE ablations)."""
+    lam = lam + 1e-9
+    if kind == "l2":
+        return jnp.mean((jnp.abs(lam - target) * w) ** 2) * 5.0
+    if kind == "l1":
+        return jnp.mean(jnp.abs(lam - target) * w)
+    if kind == "msle":
+        return jnp.mean(jnp.abs(jnp.log(lam + 1.0) - jnp.log(target + 1.0)) * w)
+    raise ValueError(kind)
+
+
+def make_loss_fn(model, cfg: RetinaNetConfig):
+    gen = AnchorGenerator(
+        strides=cfg.anchor.strides, ratios=cfg.anchor.ratios,
+        octave_base_scale=cfg.anchor.octave_base_scale,
+        scales_per_octave=cfg.anchor.scales_per_octave,
+    )
+    anchors_np = np.concatenate(gen.grid_anchors(cfg.featmap_sizes()))
+    anchors = jnp.asarray(anchors_np)
+    bounds = cfg.level_bounds()
+
+    targets_fn = jax.vmap(
+        functools.partial(
+            anchor_targets,
+            num_classes=cfg.num_classes,
+            target_means=cfg.target_means,
+            target_stds=cfg.target_stds,
+            pos_iou_thr=cfg.pos_iou_thr,
+            neg_iou_thr=cfg.neg_iou_thr,
+            min_pos_iou=cfg.min_pos_iou,
+            gt_max_assign_all=cfg.gt_max_assign_all,
+        ),
+        in_axes=(None, 0, 0, 0, 0),
+    )
+
+    def loss_fn(params, batch_stats, batch: Batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
+        t = targets_fn(anchors, batch.anchor_valid, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
+        num_total = t.num_pos.sum().astype(jnp.float32)
+
+        # classification: EDL softmax focal on pseudo-logits
+        prob = jax.nn.softmax(cls_scores, axis=-1)
+        eps = 1e-9
+        pseudo = jnp.log(prob / (1.0 - prob + eps) + eps)
+        elem = sigmoid_focal_loss_elementwise(
+            pseudo, t.labels, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha
+        )  # [B, A, C]
+        loss_cls = (elem * t.label_weights[..., None]).sum() / num_total
+        # unreduced per-anchor loss (the MEH regression target, loss_noR)
+        loss_nor = jax.lax.stop_gradient(elem.sum(axis=-1))  # [B, A]
+
+        loss_bbox = (jnp.abs(bbox_preds - t.bbox_targets) * t.bbox_weights).sum() / num_total
+
+        loss_meh = jnp.zeros((), jnp.float32)
+        if lambdas is not None:
+            w = t.bbox_weights[..., 0]  # Lambda_L2.py:237 uses bbox weights
+            for (s0, s1) in bounds:
+                loss_meh = loss_meh + _meh_regression(
+                    lambdas[:, s0:s1], loss_nor[:, s0:s1], w[:, s0:s1], cfg.meh_loss
+                )
+
+        total = loss_cls + loss_bbox + loss_meh
+        aux = {
+            "loss": total,
+            "loss_cls": loss_cls,
+            "loss_bbox": loss_bbox,
+            "loss_meh": loss_meh,
+            "num_pos": num_total,
+        }
+        return total, aux
+
+    return loss_fn
+
+
+def make_train_step(model, cfg: RetinaNetConfig, tx) -> Callable:
+    loss_fn = make_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch: Batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, state.batch_stats, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
+
+    return jax.jit(train_step, donate_argnums=(0,))

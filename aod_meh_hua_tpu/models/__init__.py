@@ -1,0 +1,11 @@
+"""Model zoo: Flax backbones, necks, and detection heads.
+
+TPU-first re-implementations of the reference's live model families
+(SURVEY.md section 2.4-2.7): ResNet-50 + FPN + MEH-Retina head, and
+SSD-VGG16 + SSDNeck + MEH-SSD head.
+"""
+
+from .resnet import ResNet, convert_torchvision_resnet
+from .fpn import FPN
+from .retina_head import RetinaMEHHead
+from .detector import MEHRetinaNet, build_retinanet, init_retinanet

@@ -1,0 +1,127 @@
+"""ResNet backbone (Flax), torchvision-layout compatible.
+
+Behavioral parity target (reference, /root/reference):
+* mmdet/models/backbones/resnet.py:305 — ResNet depth=50, pytorch style
+  (stride on the 3x3 conv), out_indices (0,1,2,3), frozen_stages=1,
+  norm_eval=True, torchvision-pretrained init
+  (configs/_base_/Config_RetinaNet.py:24-33).
+
+TPU notes:
+* BatchNorm is always frozen at inference statistics (the reference runs
+  norm_eval=True and never updates BN buffers during AL training), so BN
+  here is use_running_average=True with stats in the 'batch_stats'
+  collection — a pure affine transform XLA folds into the convs.
+* Explicit symmetric padding matches torch exactly (XLA 'SAME' pads
+  asymmetrically for stride 2, which would shift features vs the ported
+  torchvision weights).
+* frozen_stages is enforced by the optimizer mask (engine/train.py), not
+  by the module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class Bottleneck(nn.Module):
+    planes: int  # bottleneck width; output is 4 * planes
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = nn.BatchNorm(
+                use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="downsample_bn"
+            )(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """Bottleneck ResNet returning (C2, C3, C4, C5). NHWC."""
+
+    block_counts: Sequence[int] = (3, 4, 6, 3)
+    stem_width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.stem_width, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        for stage, n_blocks in enumerate(self.block_counts):
+            planes = self.stem_width * (2 ** stage)
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = Bottleneck(
+                    planes=planes, stride=stride, downsample=(b == 0),
+                    dtype=self.dtype, name=f"layer{stage + 1}_{b}",
+                )(x)
+            outs.append(x)
+        return tuple(outs)
+
+
+def convert_torchvision_resnet(state_dict: Dict[str, "np.ndarray"], block_counts=(3, 4, 6, 3)):
+    """torchvision resnet{50,101} state_dict -> (params, batch_stats) pytrees.
+
+    Accepts a dict of numpy arrays (torch tensors already .numpy()'d).
+    Conv kernels transpose OIHW -> HWIO. The classifier head is dropped.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(src):
+        return {"kernel": np.transpose(np.asarray(state_dict[src + ".weight"]), (2, 3, 1, 0))}
+
+    def bn(src):
+        p = {"scale": np.asarray(state_dict[src + ".weight"]),
+             "bias": np.asarray(state_dict[src + ".bias"])}
+        s = {"mean": np.asarray(state_dict[src + ".running_mean"]),
+             "var": np.asarray(state_dict[src + ".running_var"])}
+        return p, s
+
+    params["conv1"] = conv("conv1")
+    params["bn1"], stats["bn1"] = bn("bn1")
+    for stage, n_blocks in enumerate(block_counts):
+        for b in range(n_blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = f"layer{stage + 1}_{b}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                blk_p[f"conv{i}"] = conv(f"{src}.conv{i}")
+                blk_p[f"bn{i}"], blk_s[f"bn{i}"] = bn(f"{src}.bn{i}")
+            if f"{src}.downsample.0.weight" in state_dict:
+                blk_p["downsample_conv"] = conv(f"{src}.downsample.0")
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = bn(f"{src}.downsample.1")
+            params[dst] = blk_p
+            stats[dst] = blk_s
+    return params, stats

@@ -11,6 +11,8 @@ mmdet-2.x convention area = (x2 - x1) * (y2 - y1) (no +1).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -104,7 +106,7 @@ def delta_decode(
     stds = jnp.asarray(stds, dtype=deltas.dtype)
     d = deltas * stds + means
 
-    max_ratio = abs(float(jnp.log(jnp.asarray(wh_ratio_clip))))
+    max_ratio = abs(math.log(wh_ratio_clip))
     dx, dy = d[..., 0], d[..., 1]
     dw = jnp.clip(d[..., 2], -max_ratio, max_ratio)
     dh = jnp.clip(d[..., 3], -max_ratio, max_ratio)

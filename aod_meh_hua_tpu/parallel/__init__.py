@@ -1,0 +1,10 @@
+"""SPMD parallelism: one mesh, sharding helpers.
+
+The reference's entire distributed stack — MMDataParallel/DDP over NCCL,
+coalesced allreduce, rank-sharded eval with pickle gathers (SURVEY.md
+sections 2.10, 5.8) — collapses into jax.sharding annotations: params
+replicated, batch axis sharded over a 'data' mesh axis; XLA inserts the
+gradient psum and the score gather rides ICI.
+"""
+
+from .mesh import make_mesh, shard_batch, replicate, data_sharding

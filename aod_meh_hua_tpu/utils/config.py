@@ -1,0 +1,265 @@
+"""Config dataclasses + a loader for reference-style config files.
+
+The reference wires everything through mmcv Config dicts + registries
+(configs/_base_/Config_RetinaNet.py, Config_SSD.py). Here configs are
+plain frozen dataclasses consumed by explicit constructors — the XLA-
+friendly shape — with `load_reference_config` providing compatibility
+with the reference's plain-python config files at the CLI layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import runpy
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class AnchorConfig:
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    octave_base_scale: int = 4
+    scales_per_octave: int = 3
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.ratios) * self.scales_per_octave
+
+
+@dataclass(frozen=True)
+class TestCfg:
+    """Post-processing config (reference test_cfg, Config_RetinaNet.py:79-85)."""
+
+    nms_pre: int = 1000
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    max_per_img: int = 100
+    pre_nms_cands: int = 1000  # static candidate cap for fixed-shape NMS
+
+
+@dataclass(frozen=True)
+class HUACfg:
+    """Uncertainty scoring config (Config_RetinaNet.py:14-19 + Lambda_L2.py)."""
+
+    pool: str = "Entropy_NMS"           # Random | Entropy_ALL | Entropy_NMS | Entropy_NoNMS
+    unc_type: str = "epistemic"          # epistemic | aleatoric | total
+    agg: str = "objectSum_scaleMax_classSum"
+    obj_score_thr: float = 0.3           # GetObjectIdx score_thr (driver flag score_thr)
+    memb_iou_thr: float = 0.5            # GetObjectIdx iou_thr
+    fg_score_thr: float = 0.3            # FG anchor confidence gate
+    lambda_eps: float = 1e-7
+    lambda_scale: float = 25.0
+    mi_mode: str = "closed"              # closed | sampled (parity mode)
+    mi_samples: int = 500
+    mi_chunk: int = 50
+
+
+@dataclass(frozen=True)
+class RetinaNetConfig:
+    """MEH-RetinaNet (reference Config_RetinaNet.py model dict)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)   # (H, W): keep-ratio (1000, 600) resize + /32 pad
+    # backbone (ResNet-50-FPN); block_counts/width shrink for unit tests
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    # neck
+    fpn_channels: int = 256
+    # head
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    anchor: AnchorConfig = field(default_factory=AnchorConfig)
+    # bbox coder
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    # assigner (train_cfg)
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    min_pos_iou: float = 0.0
+    gt_max_assign_all: bool = True
+    # losses
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    cls_loss: str = "edl_softmax_focal"  # edl_softmax_focal | focal | edl_focal
+    bbox_loss: str = "l1"
+    meh_loss: str = "l2"                 # l2 (Lambda_L2) | l1 (Lambda_L1) | msle (Lambda_MSLE)
+    meh_loss_weight: float = 5.0         # Lambda_L2.py:241 final *5
+    use_meh: bool = True                 # False = Lambda_L2Net_NoL ablation
+    # data batching
+    max_gt: int = 64
+    # dtype
+    compute_dtype: str = "float32"       # float32 | bfloat16
+    test: TestCfg = field(default_factory=TestCfg)
+    hua: HUACfg = field(default_factory=HUACfg)
+
+    @property
+    def backbone_channels(self) -> Tuple[int, ...]:
+        w = self.stem_width
+        return (4 * w, 8 * w, 16 * w, 32 * w)  # C2..C5 bottleneck expansions
+
+    def for_orientation(self, orientation: str) -> "RetinaNetConfig":
+        """Per-orientation variant: `canvas` is landscape; portrait
+        batches compile against the transposed canvas (the TPU analog of
+        the reference's aspect-ratio-grouped batching + per-batch pad)."""
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        assert h % 32 == 0 and w % 32 == 0, "canvas must be divisible by 32"
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.anchor.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        """Static (start, end) anchor offsets per level (full maps)."""
+        a = self.anchor.num_anchors
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w * a
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+    def topk_level_bounds(self):
+        """Static (start, end) offsets after per-level nms_pre top-k."""
+        a = self.anchor.num_anchors
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = min(h * w * a, self.test.nms_pre)
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer/schedule (Config_RetinaNet.py:89-94 + driver overrides)."""
+
+    lr: float = 0.001
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    batch_size: int = 2
+    seed: int = 20
+    # reference schedule: outer_epoch x epoch_ratio[0] inner epochs; lr
+    # drops x0.1 at lr_step_epoch of the FINAL outer epoch only
+    outer_epoch: int = 2
+    epoch_ratio: Tuple[int, ...] = (3, 1)
+    lr_step_epoch: int = 2
+    grad_clip: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class ALConfig:
+    """Active-learning loop (Config_RetinaNet.py:156-166 + driver flags)."""
+
+    cycles: Tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6)
+    x_l_0_size: int = 16551 // 20
+    x_s_size: int = 16551 // 40
+    x_l_repeat: int = 2
+    x_u_repeat: int = 2
+    zero_rate: float = 0.15              # train_RetinaNet.py:39
+    use_max_conf: str = "False"          # False | min | max
+    eval_interval: int = 3
+
+
+def _cfg_get(ns: dict, path: str, default=None):
+    cur = ns
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return default
+    return cur
+
+
+def load_reference_config(path: str):
+    """Load a reference-style plain-python config file.
+
+    Executes the file (the mmcv Config.fromfile semantic for the two live
+    monolithic configs) and maps the keys used by the AL pipeline onto the
+    dataclasses above. Returns (RetinaNetConfig-or-SSD dict, TrainConfig,
+    ALConfig, raw namespace).
+    """
+    ns = runpy.run_path(path)
+    model = ns.get("model", {})
+    ag = _cfg_get(model, "bbox_head.anchor_generator", {}) or {}
+    test_cfg = model.get("test_cfg", {}) or {}
+    train_cfg = model.get("train_cfg", {}) or {}
+    assigner = train_cfg.get("assigner", {}) or {}
+    coder = _cfg_get(model, "bbox_head.bbox_coder", {}) or {}
+    loss_cls = _cfg_get(model, "bbox_head.loss_cls", {}) or {}
+    nms = test_cfg.get("nms", {}) or {}
+
+    anchor = AnchorConfig(
+        strides=tuple(ag.get("strides", (8, 16, 32, 64, 128))),
+        ratios=tuple(ag.get("ratios", (0.5, 1.0, 2.0))),
+        octave_base_scale=ag.get("octave_base_scale", 4),
+        scales_per_octave=ag.get("scales_per_octave", 3),
+    )
+    model_cfg = RetinaNetConfig(
+        num_classes=_cfg_get(model, "bbox_head.num_classes", 20),
+        stacked_convs=_cfg_get(model, "bbox_head.stacked_convs", 4),
+        feat_channels=_cfg_get(model, "bbox_head.feat_channels", 256),
+        anchor=anchor,
+        target_means=tuple(coder.get("target_means", (0.0,) * 4)),
+        target_stds=tuple(coder.get("target_stds", (1.0,) * 4)),
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
+        min_pos_iou=assigner.get("min_pos_iou", 0.0),
+        gt_max_assign_all=assigner.get("gt_max_assign_all", True),
+        focal_gamma=loss_cls.get("gamma", 2.0),
+        focal_alpha=loss_cls.get("alpha", 0.25),
+        test=TestCfg(
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.05),
+            nms_iou_thr=nms.get("iou_threshold", 0.5),
+            max_per_img=test_cfg.get("max_per_img", 100),
+        ),
+        hua=HUACfg(
+            pool=ns.get("uncertainty_pool", "Entropy_NMS"),
+            unc_type=ns.get("uncertainty_type", "Epistemic").lower(),
+            agg=ns.get("uncertainty_pool2", "objectSum_scaleMax_classSum"),
+        ),
+    )
+    opt = ns.get("optimizer", {})
+    train = TrainConfig(
+        lr=opt.get("lr", 0.001),
+        momentum=opt.get("momentum", 0.9),
+        weight_decay=opt.get("weight_decay", 1e-4),
+        batch_size=_cfg_get(ns, "data.samples_per_gpu", 2),
+        outer_epoch=ns.get("outer_epoch", 2),
+        epoch_ratio=tuple(ns.get("epoch_ratio", (3, 1))),
+    )
+    al = ALConfig(
+        cycles=tuple(ns.get("cycles", range(7))),
+        x_l_0_size=ns.get("X_L_0_size", 16551 // 20),
+        x_s_size=ns.get("X_S_size", 16551 // 40),
+        x_l_repeat=ns.get("X_L_repeat", 2),
+        x_u_repeat=ns.get("X_U_repeat", 2),
+    )
+    return model_cfg, train, al, ns
+
+
+def tiny_test_config(**overrides) -> RetinaNetConfig:
+    """A shrunken RetinaNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(128, 256),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=256, max_per_img=20),
+    )
+    base.update(overrides)
+    return RetinaNetConfig(**base)

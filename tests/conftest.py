@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import jax  # noqa: E402
+
+# A TPU plugin (if preloaded via sitecustomize) overrides JAX_PLATFORMS
+# programmatically; force the selection back to CPU before first use so
+# tests run on the virtual 8-device CPU mesh, not the real chip.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

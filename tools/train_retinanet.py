@@ -1,0 +1,117 @@
+"""AL experiment driver for MEH-RetinaNet on PASCAL VOC.
+
+Mirrors the reference CLI (reference tools/train_RetinaNet.py:49-74):
+--config accepts the reference's plain-python config files
+(e.g. configs/_base_/Config_RetinaNet.py semantics), plus --work-dir,
+--Unc-type (SACA/SSCS/SACS/SSCA shorthand), --no-validate, cycle
+resume/load flags, and the zeroRate/score_thr/iou_thr knobs the
+reference exposes as module globals (:37-43).
+
+TPU additions: --voc07/--voc12 data roots (the reference hardcodes
+data_root in the config), --dtype bfloat16, --batch-size.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train MEH-RetinaNet with active learning")
+    p.add_argument("--config", default=None, help="reference-style config file")
+    p.add_argument("--work-dir", default="work_dirs/retinanet_meh")
+    p.add_argument("--voc07", required=True, help="path to .../VOC2007")
+    p.add_argument("--voc12", default=None, help="path to .../VOC2012")
+    p.add_argument("--uncertainty", default=None,
+                   help="pool: Random | Entropy_ALL | Entropy_NMS | Entropy_NoNMS")
+    p.add_argument("--Unc-type", dest="unc_type", default=None,
+                   help="SACA | SSCS | SACS | SSCA (2-level agg shorthand)")
+    p.add_argument("--agg", default=None, help="full HUA agg spec, e.g. objectSum_scaleMax_classSum")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--resume-cycle", type=int, default=-1)
+    p.add_argument("--load-cycle", type=int, default=-1)
+    p.add_argument("--zero-rate", type=float, default=0.15)
+    p.add_argument("--score-thr", type=float, default=0.3, help="HUA object score threshold")
+    p.add_argument("--iou-thr", type=float, default=0.5, help="HUA membership IoU threshold")
+    p.add_argument("--seed", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--cycles", type=int, default=None, help="override number of AL cycles")
+    p.add_argument("--pretrained", default=None,
+                   help="torchvision resnet50 weights (.pth) for backbone init")
+    p.add_argument("--mini", action="store_true",
+                   help="smoke-test mode: shrunken model/canvas + 1-epoch "
+                        "schedule (the reference's ismini flag, "
+                        "tools/train_RetinaNet.py:32)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    return p.parse_args()
+
+
+STR2UNC = {"SACA": "scaleAvg_classAvg", "SSCS": "scaleSum_classSum",
+           "SACS": "scaleAvg_classSum", "SSCA": "scaleSum_classAvg"}
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from aod_meh_hua_tpu.al import ALDriver, ALPaths
+    from aod_meh_hua_tpu.utils.config import (
+        ALConfig, RetinaNetConfig, TrainConfig, load_reference_config,
+        tiny_test_config,
+    )
+
+    if args.config:
+        model_cfg, train_cfg, al_cfg, _ = load_reference_config(args.config)
+    else:
+        model_cfg, train_cfg, al_cfg = RetinaNetConfig(), TrainConfig(), ALConfig()
+    pipeline = None
+    if args.mini:
+        from aod_meh_hua_tpu.data import PipelineConfig
+
+        model_cfg = tiny_test_config()
+        train_cfg = dataclasses.replace(train_cfg, outer_epoch=1, epoch_ratio=(1,))
+        al_cfg = dataclasses.replace(al_cfg, cycles=(0, 1), x_l_0_size=4,
+                                     x_s_size=2, x_l_repeat=1)
+        pipeline = PipelineConfig(img_scale=(250, 120), canvas=model_cfg.canvas)
+
+    hua = model_cfg.hua
+    if args.uncertainty:
+        hua = dataclasses.replace(hua, pool=args.uncertainty)
+    if args.unc_type:
+        hua = dataclasses.replace(hua, agg=STR2UNC[args.unc_type])
+    if args.agg:
+        hua = dataclasses.replace(hua, agg=args.agg)
+    hua = dataclasses.replace(hua, obj_score_thr=args.score_thr, memb_iou_thr=args.iou_thr)
+    model_cfg = dataclasses.replace(model_cfg, hua=hua, compute_dtype=args.dtype)
+    train_cfg = dataclasses.replace(
+        train_cfg, seed=args.seed,
+        **({"batch_size": args.batch_size} if args.batch_size else {}),
+    )
+    al_cfg = dataclasses.replace(
+        al_cfg, zero_rate=args.zero_rate,
+        **({"cycles": tuple(range(args.cycles))} if args.cycles else {}),
+    )
+
+    np.random.seed(args.seed)
+    paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
+    driver = ALDriver(model_cfg, train_cfg, al_cfg, paths, pipeline=pipeline,
+                      validate=not args.no_validate)
+    if args.pretrained:
+        from aod_meh_hua_tpu.models.pretrained import attach_pretrained_backbone
+
+        driver.pretrained_loader = lambda variables: attach_pretrained_backbone(
+            variables, args.pretrained, model_cfg.block_counts
+        )
+    driver.run(resume_cycle=args.resume_cycle, load_cycle=args.load_cycle)
+
+
+if __name__ == "__main__":
+    main()
