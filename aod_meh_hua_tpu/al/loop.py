@@ -81,7 +81,20 @@ class ALDriver:
         self.tcfg = train_cfg
         self.al = al_cfg
         self.paths = paths
-        self.pipeline = pipeline or PipelineConfig(canvas=model_cfg.canvas)
+        self.augment_fn = None
+        if pipeline is None:
+            if getattr(model_cfg, "family", "retinanet") == "ssd":
+                # SSD: exact warp, caffe-style std=1 (Config_SSD.py:87,106)
+                pipeline = PipelineConfig(
+                    img_scale=model_cfg.canvas, canvas=model_cfg.canvas,
+                    std=(1.0, 1.0, 1.0), keep_ratio=False,
+                )
+                from ..data.ssd_augment import ssd_train_augment
+
+                self.augment_fn = ssd_train_augment
+            else:
+                pipeline = PipelineConfig(canvas=model_cfg.canvas)
+        self.pipeline = pipeline
         self.validate = validate
         self.name = name
         self.log = log or (lambda *a, **k: None)
@@ -120,17 +133,26 @@ class ALDriver:
 
     # ----- phases -----
 
+    def _init_model(self, seed: int):
+        if getattr(self.cfg, "family", "retinanet") == "ssd":
+            from ..models import init_ssd
+
+            return init_ssd(self.cfg, jax.random.PRNGKey(seed))
+        return init_retinanet(self.cfg, jax.random.PRNGKey(seed))
+
     def _fresh_model(self, cycle: int):
         seed = self.tcfg.seed + cycle  # fresh init each cycle (driver :156-162)
-        model, variables = init_retinanet(self.cfg, jax.random.PRNGKey(seed))
+        model, variables = self._init_model(seed)
         if self.pretrained_loader is not None:
             variables = self.pretrained_loader(variables)
         if self.model is None:
             # first cycle: build optimizer once; compiled programs are
             # config-shaped, so they survive re-initialized variables
             self.model = model
-            state, self.tx = create_train_state(self.model, variables, self.tcfg,
-                                                frozen_stages=self.cfg.frozen_stages)
+            state, self.tx = create_train_state(
+                self.model, variables, self.tcfg,
+                frozen_stages=getattr(self.cfg, "frozen_stages", 0),
+            )
             return state
         from ..engine.train import TrainState
         import jax.numpy as jnp
@@ -144,16 +166,25 @@ class ALDriver:
         loader = TrainLoader(
             self.pool, x_l, self.cfg, self.pipeline,
             batch_size=self.tcfg.batch_size, repeat=self.al.x_l_repeat,
-            seed=run_seed,
+            seed=run_seed, augment_fn=self.augment_fn,
         )
         n_inner = self.tcfg.epoch_ratio[0]
+        run_iter = 0  # warmup restarts per run (each run is a new runner)
         for inner in range(n_inner):
             lr = self.tcfg.lr * (0.1 if (is_final_run and inner >= self.tcfg.lr_step_epoch) else 1.0)
             state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
             t0, n_iter, loss_sum = time.time(), 0, 0.0
             for orientation, batch in loader:
+                if run_iter < self.tcfg.warmup_iters:
+                    # mmcv linear warmup: lr * (1 - (1 - k/N)(1 - ratio))
+                    f = 1 - (1 - run_iter / self.tcfg.warmup_iters) * (1 - self.tcfg.warmup_ratio)
+                    state = state._replace(
+                        opt_state=set_learning_rate(state.opt_state, lr * f))
+                elif run_iter == self.tcfg.warmup_iters and self.tcfg.warmup_iters:
+                    state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
                 state, aux = self._train_step(orientation)(state, batch)
                 n_iter += 1
+                run_iter += 1
                 loss_sum += float(aux["loss"])
             dt = time.time() - t0
             self.log(

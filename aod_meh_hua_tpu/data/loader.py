@@ -93,7 +93,10 @@ class TrainLoader:
         repeat: int = 1,
         seed: int = 20,
         prefetch: bool = True,
+        augment_fn=None,
     ):
+        """augment_fn(img, ann, rng) -> (img, ann): pre-resize train-time
+        augmentations (the SSD PhotoMetric/Expand/MinIoUCrop chain)."""
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.cfg = model_cfg
@@ -102,11 +105,8 @@ class TrainLoader:
         self.repeat = repeat
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
-        self._gen = AnchorGenerator(
-            strides=model_cfg.anchor.strides, ratios=model_cfg.anchor.ratios,
-            octave_base_scale=model_cfg.anchor.octave_base_scale,
-            scales_per_octave=model_cfg.anchor.scales_per_octave,
-        )
+        self.augment_fn = augment_fn
+        self._gen = model_cfg.build_anchor_generator()
 
     def __len__(self):
         n = 0
@@ -135,6 +135,8 @@ class TrainLoader:
         for i in batch_idx:
             img = load_image(self.dataset.img_path(int(i)))
             ann = self.dataset.get_ann_info(int(i))
+            if self.augment_fn is not None:
+                img, ann = self.augment_fn(img, ann, self.rng)
             samples.append(prepare_sample(img, ann, self.pipeline, rng=self.rng))
         while len(samples) < self.batch_size:  # short tail: repeat to keep shape
             samples.append(samples[len(samples) % max(1, len(batch_idx))])

@@ -40,9 +40,14 @@ class PipelineConfig:
     to_rgb: bool = True
     flip_ratio: float = 0.5
     size_divisor: int = 32
+    # keep_ratio=False (SSD): warp every image exactly to canvas — one
+    # shape, no padding, no orientation bucketing (Config_SSD.py:106)
+    keep_ratio: bool = True
 
     def canvas_for(self, orientation: str) -> Tuple[int, int]:
         h, w = self.canvas
+        if not self.keep_ratio:
+            return (h, w)
         return (h, w) if orientation == "landscape" else (w, h)
 
 
@@ -78,7 +83,10 @@ def prepare_sample(
     """
     h0, w0 = img.shape[:2]
     orientation = "landscape" if w0 / h0 > 1 else "portrait"
-    new_w, new_h, _ = rescale_size(w0, h0, cfg.img_scale)
+    if cfg.keep_ratio:
+        new_w, new_h, _ = rescale_size(w0, h0, cfg.img_scale)
+    else:
+        new_h, new_w = cfg.canvas  # exact warp
     resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     w_scale, h_scale = new_w / w0, new_h / h0
     scale_factor = np.array([w_scale, h_scale, w_scale, h_scale], np.float32)

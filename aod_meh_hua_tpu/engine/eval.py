@@ -35,8 +35,10 @@ def make_eval_step(model, cfg: RetinaNetConfig):
         # rescale to original image coordinates before NMS (reference
         # divides batch_mlvl_bboxes by scale_factors, Lambda_L2.py:307-308)
         boxes = cand.boxes / batch.scale_factors[:, None, :]
+        # NMS over foreground columns only (multiclass_nms strips BG)
+        fg_scores = cand.scores[..., : cfg.num_fg_classes]
         dets = batched_multiclass_nms(
-            boxes, cand.scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
+            boxes, fg_scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
         )
         return dets
 

@@ -68,8 +68,9 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         # membership IoUs are scale-invariant but we match exactly
         boxes = cand.boxes / batch.scale_factors[:, None, :]
         cand = cand._replace(boxes=boxes)
+        fg_scores = cand.scores[..., : cfg.num_fg_classes]
         dets = batched_multiclass_nms(
-            cand.boxes, cand.scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
+            cand.boxes, fg_scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
         )
         member = jax.vmap(
             functools.partial(object_membership, score_thr=hua.obj_score_thr, iou_thr=hua.memb_iou_thr)
@@ -80,6 +81,7 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
                 level_bounds=cand.bounds, agg=agg,
                 fg_score_thr=hua.fg_score_thr, lambda_eps=hua.lambda_eps,
                 lambda_scale=hua.lambda_scale, unc_type=unc_type, mi_fn=_mi_fn(cfg, key),
+                num_fg_classes=cfg.num_fg_classes,
             )
         )(cand.scores, cand.lambdas, member)
         return unc, _maxconf(cls_scores)
@@ -92,14 +94,14 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         mi = _mi_fn(cfg, key)
 
         def per_image(cls_i, lam_i):
-            levels = [transform_scores(cls_i[s0:s1][None])[0] for (s0, s1) in full_bounds]
+            levels = [jax.nn.softmax(cls_i[s0:s1], axis=-1) for (s0, s1) in full_bounds]
             lams = None
             if with_lambda:
                 lams = [lam_i[s0:s1] for (s0, s1) in full_bounds]
             return hua_scale_scores(
                 levels, lams, agg, fg_score_thr=hua.fg_score_thr,
                 lambda_eps=hua.lambda_eps, lambda_scale=hua.lambda_scale,
-                unc_type=unc_type, mi_fn=mi,
+                unc_type=unc_type, mi_fn=mi, num_fg_classes=cfg.num_fg_classes,
             )
 
         lam_arg = lambdas if with_lambda else jnp.zeros_like(cls_scores[..., 0])

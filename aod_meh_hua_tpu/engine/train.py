@@ -51,13 +51,17 @@ class TrainState(NamedTuple):
 
 def frozen_mask(params: Any, frozen_stages: int = 1) -> Any:
     """True for params the optimizer must not touch (reference
-    frozen_stages=1: backbone stem + layer1; resnet.py:305 semantics)."""
-    frozen_prefixes = ["conv1", "bn1"] + [f"layer{i}_" for i in range(1, frozen_stages + 1)]
+    frozen_stages=1: ResNet stem + layer1; resnet.py:305 semantics).
+    frozen_stages <= 0 freezes nothing (the SSD family)."""
+    if frozen_stages <= 0:
+        return jax.tree.map(lambda _: False, params)
+    stem = {"conv1", "bn1"}
+    layer_prefixes = tuple(f"layer{i}_" for i in range(1, frozen_stages + 1))
 
     def mask_path(path, _):
         keys = [getattr(p, "key", str(p)) for p in path]
         if keys and keys[0] == "backbone":
-            return any(keys[1].startswith(p) for p in frozen_prefixes)
+            return keys[1] in stem or keys[1].startswith(layer_prefixes)
         return False
 
     return jax.tree_util.tree_map_with_path(mask_path, params)
@@ -121,17 +125,8 @@ def _meh_regression(lam: jnp.ndarray, target: jnp.ndarray, w: jnp.ndarray, kind:
     raise ValueError(kind)
 
 
-def make_loss_fn(model, cfg: RetinaNetConfig):
-    gen = AnchorGenerator(
-        strides=cfg.anchor.strides, ratios=cfg.anchor.ratios,
-        octave_base_scale=cfg.anchor.octave_base_scale,
-        scales_per_octave=cfg.anchor.scales_per_octave,
-    )
-    anchors_np = np.concatenate(gen.grid_anchors(cfg.featmap_sizes()))
-    anchors = jnp.asarray(anchors_np)
-    bounds = cfg.level_bounds()
-
-    targets_fn = jax.vmap(
+def _make_targets_fn(cfg):
+    return jax.vmap(
         functools.partial(
             anchor_targets,
             num_classes=cfg.num_classes,
@@ -144,6 +139,20 @@ def make_loss_fn(model, cfg: RetinaNetConfig):
         ),
         in_axes=(None, 0, 0, 0, 0),
     )
+
+
+def make_loss_fn(model, cfg):
+    """Family dispatch: EDL-focal Retina loss or OHEM-CE SSD loss."""
+    if getattr(cfg, "family", "retinanet") == "ssd":
+        return make_ssd_loss_fn(model, cfg)
+    return make_retina_loss_fn(model, cfg)
+
+
+def make_retina_loss_fn(model, cfg: RetinaNetConfig):
+    gen = cfg.build_anchor_generator()
+    anchors = jnp.asarray(np.concatenate(gen.grid_anchors(cfg.featmap_sizes())))
+    bounds = cfg.level_bounds()
+    targets_fn = _make_targets_fn(cfg)
 
     def loss_fn(params, batch_stats, batch: Batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -185,7 +194,66 @@ def make_loss_fn(model, cfg: RetinaNetConfig):
     return loss_fn
 
 
-def make_train_step(model, cfg: RetinaNetConfig, tx) -> Callable:
+def make_ssd_loss_fn(model, cfg):
+    """SSD supervised + MEH loss.
+
+    Mirrors My_L_ssd_head.py:182-233 (per-image OHEM cross-entropy with
+    neg:pos = neg_pos_ratio, smooth-L1 bbox loss, weighted unreduced
+    loss_noR) and :217-224 (MEH: per-image mean((|lambda - loss|)^2) * 2,
+    UNWEIGHTED — the runner never passes mineW).
+    """
+    from ..ops.losses import softmax_cross_entropy
+
+    gen = cfg.build_anchor_generator()
+    anchors = jnp.asarray(np.concatenate(gen.grid_anchors(cfg.featmap_sizes())))
+    targets_fn = _make_targets_fn(cfg)
+    c = cfg.num_classes
+
+    def loss_fn(params, batch_stats, batch: Batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
+        t = targets_fn(anchors, batch.anchor_valid, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
+        num_total = t.num_pos.sum().astype(jnp.float32)
+
+        ce = softmax_cross_entropy(cls_scores, t.labels, reduction="none")  # [B, A]
+        ce = ce * t.label_weights
+        pos = (t.labels < c) & (t.label_weights > 0)
+        neg = (t.labels == c) & (t.label_weights > 0)
+
+        def ohem_image(ce_i, pos_i, neg_i):
+            num_pos = pos_i.sum()
+            num_neg = jnp.minimum(cfg.neg_pos_ratio * num_pos, neg_i.sum())
+            masked = jnp.where(neg_i, ce_i, -jnp.inf)
+            order = jnp.argsort(-masked)  # hardest negatives first
+            rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+            sel_neg = neg_i & (rank < num_neg)
+            return jnp.where(pos_i, ce_i, 0.0).sum() + jnp.where(sel_neg, ce_i, 0.0).sum()
+
+        loss_cls = jax.vmap(ohem_image)(ce, pos, neg).sum() / num_total
+
+        diff = jnp.abs(bbox_preds - t.bbox_targets)
+        beta = cfg.smoothl1_beta
+        sl1 = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+        loss_bbox = (sl1 * t.bbox_weights).sum() / num_total
+
+        loss_nor = jax.lax.stop_gradient(ce)  # SSD's loss_noR is the weighted CE
+        loss_meh = jnp.zeros((), jnp.float32)
+        if lambdas is not None:
+            err = jnp.abs(lambdas + 1e-9 - loss_nor)
+            if cfg.meh_weighted:
+                err = err * t.bbox_weights[..., 0]
+            # per-image mean over all anchors, x weight, summed over batch
+            loss_meh = (err ** 2).mean(axis=1).sum() * cfg.meh_loss_weight
+
+        total = loss_cls + loss_bbox + loss_meh
+        aux = {"loss": total, "loss_cls": loss_cls, "loss_bbox": loss_bbox,
+               "loss_meh": loss_meh, "num_pos": num_total}
+        return total, aux
+
+    return loss_fn
+
+
+def make_train_step(model, cfg, tx) -> Callable:
     loss_fn = make_loss_fn(model, cfg)
 
     def train_step(state: TrainState, batch: Batch):

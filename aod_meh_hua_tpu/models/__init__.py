@@ -9,3 +9,7 @@ from .resnet import ResNet, convert_torchvision_resnet
 from .fpn import FPN
 from .retina_head import RetinaMEHHead
 from .detector import MEHRetinaNet, build_retinanet, init_retinanet
+from .vgg import SSDVGG, convert_mmcv_vgg16
+from .ssd_neck import SSDNeck
+from .ssd_head import SSDMEHHead
+from .ssd_detector import MEHSSD, build_ssd, init_ssd

@@ -120,30 +120,43 @@ def hua_object_scores(
     lambda_scale: float = 25.0,
     unc_type: str = "epistemic",
     mi_fn: Callable = None,
+    num_fg_classes: int = None,
 ) -> jnp.ndarray:
     """Single-image HUA score for the Entropy_NMS pool (scalar).
 
     Args:
       cand_scores: [A, C] per-candidate class probabilities (the topk'd
-        softmax scores fed to NMS, concatenated over levels).
+        softmax scores fed to NMS, concatenated over levels). For the SSD
+        family C includes the background column; the Dirichlet runs over
+        all columns (reference ignoreBG=False) while the level-enable
+        gate below uses foreground columns only.
       cand_lambda: [A] MEH lambda per candidate.
       member: [A, K] object membership (see object_membership).
       level_bounds: static (start, end) per pyramid level into A.
       agg: parsed spec with 'object', 'scale', 'class' entries.
       mi_fn: alpha [N, C] -> DirichletUncertainty; defaults to closed form.
+      num_fg_classes: foreground column count for the per-level FGIdx
+        skip (ComputeObjUnc's `slvl_maxconf[:, :-1]` for SSD,
+        My_L_ssd_head.py:446); None = all columns (Retina).
     """
     if mi_fn is None:
         mi_fn = dirichlet_mutual_information
     num_obj = member.shape[1]
     num_cls = cand_scores.shape[1]
+    num_fg = num_fg_classes or num_cls
 
     sums: List[jnp.ndarray] = []
     cnts: List[jnp.ndarray] = []
     for (s0, s1) in level_bounds:
         scores_l = cand_scores[s0:s1]           # [Al, C]
         lam_l = cand_lambda[s0:s1]              # [Al]
+        # pair gate: max over ALL columns (the reference's topk_score.max)
         fg_l = scores_l.max(axis=-1) > fg_score_thr
-        pair_w = member[s0:s1] & fg_l[:, None]  # [Al, K]
+        # level skip: any anchor confident in a FOREGROUND class (FGIdx);
+        # the level's top FG anchor is always in the topk, so this equals
+        # the reference's full-map check
+        enable_l = (scores_l[:, :num_fg].max(axis=-1) > fg_score_thr).any()
+        pair_w = member[s0:s1] & fg_l[:, None] & enable_l  # [Al, K]
         m = pair_w.sum(axis=1).astype(scores_l.dtype)  # pairs per anchor
 
         lam_p = lambda_rescale(lam_l, m, eps=lambda_eps, scale=lambda_scale)
@@ -179,21 +192,24 @@ def hua_scale_scores(
     lambda_scale: float = 25.0,
     unc_type: str = "epistemic",
     mi_fn: Callable = None,
+    num_fg_classes: int = None,
 ) -> jnp.ndarray:
     """Single-image scale/class HUA score for Entropy_ALL / Entropy_NoNMS.
 
     level_scores: per level [Nl, C] softmax probabilities over the FULL
     feature map (no topk). level_lambda: per level [Nl] MEH lambda, or
     None to skip lambda rescaling (the reference's Entropy_NoNMS path
-    passes no L_scores). Returns scalar.
+    passes no L_scores). num_fg_classes: FG-column count for the anchor
+    gate (SSD uses probs[:, :-1], My_L_ssd_head.py:493). Returns scalar.
     """
     if mi_fn is None:
         mi_fn = dirichlet_mutual_information
     num_cls = level_scores[0].shape[-1]
+    num_fg = num_fg_classes or num_cls
 
     sums, cnts = [], []
     for li, probs in enumerate(level_scores):
-        fg = probs.max(axis=-1) > fg_score_thr
+        fg = probs[:, :num_fg].max(axis=-1) > fg_score_thr
         if level_lambda is not None:
             lam = level_lambda[li]
             # reference: mean over the whole level map (not FG-masked)

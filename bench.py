@@ -36,6 +36,9 @@ def main():
     import jax.numpy as jnp
     from dataclasses import replace
 
+    # persistent compile cache: repeated bench runs skip the ~100s compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
     from aod_meh_hua_tpu.engine import EvalBatch, make_score_step
     from aod_meh_hua_tpu.models import init_retinanet
     from aod_meh_hua_tpu.utils.config import RetinaNetConfig

@@ -1,0 +1,114 @@
+"""AL experiment driver for MEH-SSD300 on PASCAL VOC.
+
+Mirrors the reference CLI (reference tools/train_SSD.py): same AL cycle
+loop as the RetinaNet driver with the SSD schedule — batch 8,
+epoch_ratio [5, 1], X_L_repeat 16, 500-iter linear warmup, 11 cycles of
+1000-image acquisitions (Config_SSD.py:125-171).
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train MEH-SSD300 with active learning")
+    p.add_argument("--work-dir", default="work_dirs/ssd_meh")
+    p.add_argument("--voc07", required=True)
+    p.add_argument("--voc12", default=None)
+    p.add_argument("--uncertainty", default=None)
+    p.add_argument("--Unc-type", dest="unc_type", default=None)
+    p.add_argument("--agg", default=None)
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--resume-cycle", type=int, default=-1)
+    p.add_argument("--load-cycle", type=int, default=-1)
+    p.add_argument("--zero-rate", type=float, default=0.15)
+    p.add_argument("--score-thr", type=float, default=0.3)
+    p.add_argument("--iou-thr", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--cycles", type=int, default=None)
+    p.add_argument("--pretrained", default=None, help="mmcv vgg16_caffe .pth")
+    p.add_argument("--mini", action="store_true",
+                   help="smoke mode: thin VGG + 1-epoch schedule")
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args()
+
+
+STR2UNC = {"SACA": "scaleAvg_classAvg", "SSCS": "scaleSum_classSum",
+           "SACS": "scaleAvg_classSum", "SSCA": "scaleSum_classAvg"}
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from aod_meh_hua_tpu.al import ALDriver, ALPaths
+    from aod_meh_hua_tpu.utils.config import ALConfig, SSDConfig, TrainConfig
+
+    model_cfg = SSDConfig(compute_dtype=args.dtype)
+    # SSD schedule (Config_SSD.py:125-171)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, seed=args.seed,
+        outer_epoch=2, epoch_ratio=(5, 1), lr_step_epoch=1,
+        warmup_iters=500, warmup_ratio=1e-3,
+    )
+    al_cfg = ALConfig(
+        cycles=tuple(range(11)), x_l_0_size=1000, x_s_size=1000,
+        x_l_repeat=16, x_u_repeat=16, zero_rate=args.zero_rate,
+    )
+
+    if args.mini:
+        model_cfg = dataclasses.replace(model_cfg, width_mult=0.125, max_gt=8)
+        train_cfg = dataclasses.replace(train_cfg, outer_epoch=1, epoch_ratio=(1,),
+                                        warmup_iters=0)
+        al_cfg = dataclasses.replace(al_cfg, cycles=(0, 1), x_l_0_size=4,
+                                     x_s_size=2, x_l_repeat=1)
+
+    hua = model_cfg.hua
+    if args.uncertainty:
+        hua = dataclasses.replace(hua, pool=args.uncertainty)
+    if args.unc_type:
+        hua = dataclasses.replace(hua, agg=STR2UNC[args.unc_type])
+    if args.agg:
+        hua = dataclasses.replace(hua, agg=args.agg)
+    hua = dataclasses.replace(hua, obj_score_thr=args.score_thr, memb_iou_thr=args.iou_thr)
+    model_cfg = dataclasses.replace(model_cfg, hua=hua)
+    if args.cycles:
+        al_cfg = dataclasses.replace(al_cfg, cycles=tuple(range(args.cycles)))
+
+    np.random.seed(args.seed)
+    paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
+    driver = ALDriver(model_cfg, train_cfg, al_cfg, paths,
+                      validate=not args.no_validate, name="ssd_meh")
+    if args.pretrained:
+        from aod_meh_hua_tpu.models.pretrained import load_torch_state_dict
+        from aod_meh_hua_tpu.models.vgg import convert_mmcv_vgg16
+
+        def loader(variables):
+            import jax.numpy as jnp
+
+            sd = load_torch_state_dict(args.pretrained)
+            params = convert_mmcv_vgg16(sd)
+            new_vars = dict(variables)
+            new_params = dict(new_vars["params"])
+            new_params["backbone"] = {
+                k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in params.items()
+            }
+            new_vars["params"] = new_params
+            return new_vars
+
+        driver.pretrained_loader = loader
+    driver.run(resume_cycle=args.resume_cycle, load_cycle=args.load_cycle)
+
+
+if __name__ == "__main__":
+    main()
