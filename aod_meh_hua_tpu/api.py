@@ -1,0 +1,76 @@
+"""High-level inference API.
+
+Behavioral parity target (reference, /root/reference):
+* mmdet/apis/inference.py:16 (init_detector: config + checkpoint ->
+  ready model), :89 (inference_detector: single image / list -> per-class
+  det arrays), :212 (show_result helper).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from .data.pipeline import PipelineConfig, load_image, prepare_sample
+from .engine.batch import EvalBatch
+from .engine.checkpoint import load_checkpoint
+from .engine.eval import detections_to_per_class, make_eval_step
+from .models import init_retinanet, init_ssd
+from .utils.config import RetinaNetConfig, SSDConfig
+
+
+def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
+    """Build a detector (+ load a checkpoint). Returns (model, variables)."""
+    if getattr(cfg, "family", "retinanet") == "ssd":
+        model, variables = init_ssd(cfg, jax.random.PRNGKey(seed))
+    else:
+        model, variables = init_retinanet(cfg, jax.random.PRNGKey(seed))
+    if checkpoint:
+        variables = load_checkpoint(checkpoint, variables)
+    return model, variables
+
+
+def _default_pipeline(cfg) -> PipelineConfig:
+    if getattr(cfg, "family", "retinanet") == "ssd":
+        return PipelineConfig(img_scale=cfg.canvas, canvas=cfg.canvas,
+                              std=(1.0, 1.0, 1.0), keep_ratio=False)
+    return PipelineConfig(canvas=cfg.canvas)
+
+
+class Detector:
+    """Convenience wrapper caching the per-orientation compiled eval steps."""
+
+    def __init__(self, cfg, model, variables, pipeline: Optional[PipelineConfig] = None):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.pipeline = pipeline or _default_pipeline(cfg)
+        self._steps = {}
+
+    def _step(self, orientation: str):
+        if orientation not in self._steps:
+            self._steps[orientation] = make_eval_step(
+                self.model, self.cfg.for_orientation(orientation)
+            )
+        return self._steps[orientation]
+
+    def __call__(self, image: Union[str, np.ndarray]) -> List[np.ndarray]:
+        """One image (path or BGR array) -> per-class [k, 5] arrays in
+        original image coordinates (the reference's bbox2result format)."""
+        img = load_image(image) if isinstance(image, str) else image
+        s = prepare_sample(img, None, self.pipeline, flip=False)
+        batch = EvalBatch(
+            s["image"][None], s["img_shape"][None], s["scale_factor"][None],
+            np.ones(1, bool),
+        )
+        dets = self._step(s["orientation"])(self.variables, batch)
+        return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
+
+
+def inference_detector(detector: Detector, imgs) -> Union[List, List[List]]:
+    """Reference-style helper: single image or list of images."""
+    if isinstance(imgs, (list, tuple)):
+        return [detector(i) for i in imgs]
+    return detector(imgs)

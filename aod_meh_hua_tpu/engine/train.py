@@ -160,10 +160,21 @@ def make_retina_loss_fn(model, cfg: RetinaNetConfig):
         t = targets_fn(anchors, batch.anchor_valid, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
         num_total = t.num_pos.sum().astype(jnp.float32)
 
-        # classification: EDL softmax focal on pseudo-logits
-        prob = jax.nn.softmax(cls_scores, axis=-1)
+        # classification loss family (EDL_Softmax_FocalLoss is the live
+        # config; 'focal' = plain sigmoid focal, 'edl_focal' = the
+        # relu-evidence variant, EDL_FocalLoss.py:31-70)
         eps = 1e-9
-        pseudo = jnp.log(prob / (1.0 - prob + eps) + eps)
+        if cfg.cls_loss == "edl_softmax_focal":
+            prob = jax.nn.softmax(cls_scores, axis=-1)
+            pseudo = jnp.log(prob / (1.0 - prob + eps) + eps)
+        elif cfg.cls_loss == "edl_focal":
+            conc = jax.nn.relu(cls_scores) + 1.0
+            p = conc / conc.sum(axis=-1, keepdims=True)
+            pseudo = jnp.log(p / (1.0 - p + eps) + eps)
+        elif cfg.cls_loss == "focal":
+            pseudo = cls_scores
+        else:
+            raise ValueError(f"unknown cls_loss {cfg.cls_loss!r}")
         elem = sigmoid_focal_loss_elementwise(
             pseudo, t.labels, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha
         )  # [B, A, C]

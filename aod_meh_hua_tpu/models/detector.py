@@ -46,7 +46,7 @@ class MEHRetinaNet(nn.Module):
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         self.backbone = ResNet(
             block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
-            dtype=dtype, name="backbone",
+            mc_dropout=self.cfg.mc_dropout, dtype=dtype, name="backbone",
         )
         self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=1,
                         num_outs=len(self.cfg.anchor.strides), dtype=dtype, name="neck")
@@ -55,6 +55,7 @@ class MEHRetinaNet(nn.Module):
             num_anchors=self.cfg.anchor.num_anchors,
             feat_channels=self.cfg.feat_channels,
             stacked_convs=self.cfg.stacked_convs,
+            mc_dropout=self.cfg.mc_dropout,
             dtype=dtype, name="head",
         )
 

@@ -27,24 +27,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def channel_dropout(x, rate: float, deterministic: bool):
+    """Dropout2d equivalent: drop whole channels (the reference's
+    MC-dropout injection after every ReLU, functions.py:492-505)."""
+    if rate == 0.0:
+        return x
+    return nn.Dropout(rate, broadcast_dims=(1, 2), deterministic=deterministic)(x)
+
+
 class Bottleneck(nn.Module):
     planes: int  # bottleneck width; output is 4 * planes
     stride: int = 1
     downsample: bool = False
+    mc_dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        drop = lambda v: channel_dropout(v, self.mc_dropout, deterministic=False)
         identity = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
-        y = nn.relu(y)
+        y = drop(nn.relu(y))
         y = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2",
         )(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
-        y = nn.relu(y)
+        y = drop(nn.relu(y))
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
         if self.downsample:
@@ -55,7 +65,7 @@ class Bottleneck(nn.Module):
             identity = nn.BatchNorm(
                 use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="downsample_bn"
             )(identity)
-        return nn.relu(y + identity)
+        return drop(nn.relu(y + identity))
 
 
 class ResNet(nn.Module):
@@ -63,6 +73,7 @@ class ResNet(nn.Module):
 
     block_counts: Sequence[int] = (3, 4, 6, 3)
     stem_width: int = 64
+    mc_dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,7 +84,7 @@ class ResNet(nn.Module):
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
+        x = channel_dropout(nn.relu(x), self.mc_dropout, deterministic=False)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         outs = []
@@ -83,6 +94,7 @@ class ResNet(nn.Module):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 x = Bottleneck(
                     planes=planes, stride=stride, downsample=(b == 0),
+                    mc_dropout=self.mc_dropout,
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x)
             outs.append(x)

@@ -42,17 +42,20 @@ class ConvBranch(nn.Module):
 
     channels: int
     stacked: int
+    mc_dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from .resnet import channel_dropout
+
         for i in range(self.stacked):
             x = nn.Conv(
                 self.channels, (3, 3), padding=((1, 1), (1, 1)),
                 kernel_init=normal(0.01), bias_init=zeros,
                 dtype=self.dtype, name=f"conv_{i}",
             )(x)
-            x = nn.relu(x)
+            x = channel_dropout(nn.relu(x), self.mc_dropout, deterministic=False)
         return x
 
 
@@ -62,13 +65,15 @@ class RetinaMEHHead(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 4
     cls_bias_init: str = "uniform"  # 'uniform' (driver) | 'prior' (bias_prob 0.01)
+    mc_dropout: float = 0.0
     dtype: Any = jnp.float32
 
     def setup(self):
         c, s = self.feat_channels, self.stacked_convs
-        self.cls_convs = ConvBranch(c, s, self.dtype, name="cls_convs")
-        self.reg_convs = ConvBranch(c, s, self.dtype, name="reg_convs")
-        self.l_convs = ConvBranch(c, s, self.dtype, name="L_convs")
+        d = self.mc_dropout
+        self.cls_convs = ConvBranch(c, s, d, self.dtype, name="cls_convs")
+        self.reg_convs = ConvBranch(c, s, d, self.dtype, name="reg_convs")
+        self.l_convs = ConvBranch(c, s, d, self.dtype, name="L_convs")
         if self.cls_bias_init == "uniform":
             cls_bias = _cls_bias_uniform(self.num_anchors, self.num_classes)
         else:  # focal prior: b = -log((1 - p) / p), p = 0.01

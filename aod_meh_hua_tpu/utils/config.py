@@ -91,6 +91,9 @@ class RetinaNetConfig:
     max_gt: int = 64
     # dtype
     compute_dtype: str = "float32"       # float32 | bfloat16
+    # MC-dropout baseline: channel dropout after every ReLU when > 0
+    # (the reference's append_dropout surgery, functions.py:492-505)
+    mc_dropout: float = 0.0
     test: TestCfg = field(default_factory=TestCfg)
     hua: HUACfg = field(default_factory=HUACfg)
 
