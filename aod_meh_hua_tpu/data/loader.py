@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Sequence, Tuple
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -94,9 +95,13 @@ class TrainLoader:
         seed: int = 20,
         prefetch: bool = True,
         augment_fn=None,
+        num_workers: int = 4,
     ):
         """augment_fn(img, ann, rng) -> (img, ann): pre-resize train-time
-        augmentations (the SSD PhotoMetric/Expand/MinIoUCrop chain)."""
+        augmentations (the SSD PhotoMetric/Expand/MinIoUCrop chain).
+        num_workers: decode/resize thread pool size (cv2 releases the
+        GIL; this is the host analog of the reference's worker
+        processes, datasets/builder.py:104-147)."""
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.cfg = model_cfg
@@ -106,6 +111,8 @@ class TrainLoader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.augment_fn = augment_fn
+        self.num_workers = num_workers
+        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         self._gen = model_cfg.build_anchor_generator()
 
     def __len__(self):
@@ -131,13 +138,21 @@ class TrainLoader:
         return [batches[i] for i in order]
 
     def _make_batch(self, orientation: str, batch_idx: np.ndarray) -> Batch:
-        samples = []
-        for i in batch_idx:
+        # deterministic per-sample seeds drawn in order, then parallel prep
+        seeds = [int(self.rng.randint(0, 2 ** 31 - 1)) for _ in batch_idx]
+
+        def prep(i, seed):
+            r = np.random.RandomState(seed)
             img = load_image(self.dataset.img_path(int(i)))
             ann = self.dataset.get_ann_info(int(i))
             if self.augment_fn is not None:
-                img, ann = self.augment_fn(img, ann, self.rng)
-            samples.append(prepare_sample(img, ann, self.pipeline, rng=self.rng))
+                img, ann = self.augment_fn(img, ann, r)
+            return prepare_sample(img, ann, self.pipeline, rng=r)
+
+        if self._pool is not None:
+            samples = list(self._pool.map(prep, batch_idx, seeds))
+        else:
+            samples = [prep(i, s) for i, s in zip(batch_idx, seeds)]
         while len(samples) < self.batch_size:  # short tail: repeat to keep shape
             samples.append(samples[len(samples) % max(1, len(batch_idx))])
         images = np.stack([s["image"] for s in samples])
@@ -169,12 +184,14 @@ class EvalLoader:
         pipeline: PipelineConfig,
         batch_size: int,
         prefetch: bool = True,
+        num_workers: int = 8,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
 
     def __len__(self):
         n = 0
@@ -184,11 +201,15 @@ class EvalLoader:
         return n
 
     def _make_batch(self, batch_idx: np.ndarray) -> EvalBatch:
-        samples, valid = [], []
-        for i in batch_idx:
+        def prep(i):
             img = load_image(self.dataset.img_path(int(i)))
-            samples.append(prepare_sample(img, None, self.pipeline, flip=False))
-            valid.append(True)
+            return prepare_sample(img, None, self.pipeline, flip=False)
+
+        if self._pool is not None:
+            samples = list(self._pool.map(prep, batch_idx))
+        else:
+            samples = [prep(i) for i in batch_idx]
+        valid = [True] * len(samples)
         while len(samples) < self.batch_size:
             samples.append(samples[-1])
             valid.append(False)
