@@ -256,9 +256,16 @@ class ALDriver:
                 with open(os.path.join(self.paths.work_dir, "metrics.json"), "w") as f:
                     json.dump(self.metrics, f, indent=2)
 
+            import aod_meh_hua_tpu
+
+            from ..data.voc import VOC_CLASSES
+
             save_cycle_checkpoint(
                 self.paths.save_dir, self.name, cycle, self.tcfg.epoch_ratio[0],
                 self._variables(state),
+                meta={"version": aod_meh_hua_tpu.__version__,
+                      "CLASSES": list(VOC_CLASSES), "cycle": cycle,
+                      "n_labeled": int(len(x_l)), "family": getattr(self.cfg, "family", "retinanet")},
             )
 
             if cycle != self.al.cycles[-1]:

@@ -40,10 +40,17 @@ def latest_path(save_dir: str) -> str:
 
 
 def save_cycle_checkpoint(save_dir: str, name: str, cycle: int, epoch: int, tree: Any,
-                          keep_only_cycle: bool = True) -> str:
+                          keep_only_cycle: bool = True, meta: Optional[dict] = None) -> str:
     """Save the per-cycle snapshot; GC non-cycle checkpoints (the
-    reference deletes every file without '_mycode', :214-216)."""
+    reference deletes every file without '_mycode', :214-216). `meta`
+    (version, CLASSES, config — the reference's checkpoint_config.meta,
+    tools/train_RetinaNet.py:174-175) lands beside it as json."""
     os.makedirs(save_dir, exist_ok=True)
+    if meta is not None:
+        import json
+
+        with open(os.path.join(save_dir, f"{name}_Cycle{cycle}_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
     if keep_only_cycle:
         for f in os.listdir(save_dir):
             if f.endswith(".ckpt") and "_mycode" not in f:

@@ -1,0 +1,63 @@
+"""Serving export (reference tools/deployment/pytorch2onnx.py analog).
+
+The TPU-native deployment path is jax.export: serialize the jitted
+eval step (forward -> decode -> NMS) as a StableHLO artifact loadable
+from any jax process without the framework installed.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="retinanet", choices=["retinanet", "ssd"])
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--out", default="detector_export.bin")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from aod_meh_hua_tpu.api import init_detector
+    from aod_meh_hua_tpu.engine import EvalBatch
+    from aod_meh_hua_tpu.engine.eval import make_eval_step
+    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig
+
+    cfg = SSDConfig() if args.family == "ssd" else RetinaNetConfig()
+    model, variables = init_detector(cfg, checkpoint=args.checkpoint)
+    step = make_eval_step(model, cfg)
+
+    h, w = cfg.canvas
+    b = args.batch
+    batch = EvalBatch(
+        jnp.zeros((b, h, w, 3), jnp.float32),
+        jnp.zeros((b, 2), jnp.int32),
+        jnp.ones((b, 4), jnp.float32),
+        jnp.ones(b, dtype=bool),
+    )
+    # close over the weights: the artifact is self-contained
+    fn = jax.jit(lambda bt: step(variables, bt))
+    exported = jexport.export(fn)(batch)
+    blob = exported.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"exported {args.family} eval step ({len(blob) / 1e6:.1f} MB) -> {args.out}")
+    # round-trip sanity
+    loaded = jexport.deserialize(blob)
+    out = loaded.call(batch)
+    print(f"round-trip OK: boxes {np.asarray(out.boxes).shape}")
+
+
+if __name__ == "__main__":
+    main()
