@@ -69,6 +69,32 @@ class Detector:
         return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
 
 
+def show_result(
+    image: Union[str, np.ndarray],
+    per_class_dets: List[np.ndarray],
+    out_file: Optional[str] = None,
+    score_thr: float = 0.3,
+):
+    """Reference show_result_pyplot analog: draw per-class detections on
+    the original image; returns (and optionally saves) the BGR array."""
+    from .data.pipeline import load_image as _load
+    from .utils.visualize import draw_detections, save_image
+
+    img = _load(image) if isinstance(image, str) else image.copy()
+    boxes, labels, scores = [], [], []
+    for c, arr in enumerate(per_class_dets):
+        for row in arr:
+            boxes.append(row[:4])
+            scores.append(row[4])
+            labels.append(c)
+    if boxes:
+        img = draw_detections(img, np.asarray(boxes), np.asarray(labels),
+                              np.asarray(scores), score_thr=score_thr)
+    if out_file:
+        save_image(img, out_file)
+    return img
+
+
 def inference_detector(detector: Detector, imgs) -> Union[List, List[List]]:
     """Reference-style helper: single image or list of images."""
     if isinstance(imgs, (list, tuple)):

@@ -82,6 +82,32 @@ def update_labeled_set(
     return x_l_next, x_u_next
 
 
+def init_split_disjoint(
+    num_images: int, x_l_0_size: int, rng: np.random.RandomState
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """get_X_L_0: X_U = everything not in X_L (the full-complement
+    variant; get_X_L_0_prev scores only a same-sized slice)."""
+    x_all = np.arange(num_images)
+    rng.shuffle(x_all)
+    x_l = np.sort(x_all[:x_l_0_size].copy())
+    x_u = np.sort(x_all[x_l_0_size:].copy())
+    return x_l, x_u, x_all
+
+
+def update_labeled_set_reselect(
+    uncertainty: np.ndarray, x_all: np.ndarray, x_l: np.ndarray, x_s_size: int,
+    rng: np.random.RandomState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """update_X_L2: re-select the ENTIRE labeled set each cycle as the
+    top (|X_L| + x_s_size) most-uncertain images over the whole pool
+    (no monotone growth guarantee)."""
+    uncertainty = np.asarray(uncertainty)
+    x_l_next = np.sort(uncertainty.argsort()[-(x_s_size + len(x_l)):])
+    x_u_next = np.setdiff1d(x_all, x_l_next)
+    rng.shuffle(x_u_next)
+    return x_l_next, np.sort(x_u_next)
+
+
 def save_cycle_state(work_dir: str, cycle: int, x_l, x_u, uncertainty=None):
     """Persist the reference's per-cycle filenames (X_L_<c>.npy etc.)."""
     os.makedirs(work_dir, exist_ok=True)

@@ -1,0 +1,98 @@
+"""Ablation configs, visualization utils, split variants, profiling."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from dataclasses import replace
+
+from aod_meh_hua_tpu.utils.config import tiny_test_config, TrainConfig
+from aod_meh_hua_tpu.models import init_retinanet
+from aod_meh_hua_tpu.engine import create_train_state, make_train_step
+from aod_meh_hua_tpu.engine.train import make_loss_fn
+
+from test_engine import _make_batch
+
+CFG = tiny_test_config()
+
+
+@pytest.mark.parametrize("variant", [
+    {"meh_loss": "l1"},                      # Lambda_L1Net
+    {"meh_loss": "msle"},                    # Lambda_MSLENet
+    {"use_meh": False},                      # Lambda_L2Net_NoL
+    {"cls_loss": "focal"},                   # plain FocalLoss head
+    {"cls_loss": "edl_focal"},               # EDL_FocalLoss head
+])
+def test_ablation_configs_train(variant, rng):
+    cfg = replace(CFG, **variant)
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(model, cfg)
+    total, aux = jax.jit(loss_fn)(variables["params"], variables["batch_stats"],
+                                  _make_batch(rng))
+    assert np.isfinite(float(total))
+    if variant.get("use_meh") is False:
+        assert float(aux["loss_meh"]) == 0.0
+
+
+def test_visualize_utils(tmp_path, rng):
+    from aod_meh_hua_tpu.utils.visualize import (
+        draw_detections, heatmap, save_image, dump_level_heatmaps, denormalize,
+    )
+
+    img = rng.randint(0, 255, (100, 160, 3)).astype(np.uint8)
+    out = draw_detections(
+        img, np.array([[10, 10, 60, 60], [80, 20, 150, 90]]),
+        labels=np.array([3, 7]), scores=np.array([0.9, 0.4]),
+        uncertainties=np.array([0.12, 0.55]),
+    )
+    assert out.shape == img.shape and not np.array_equal(out, img)
+    hm = heatmap(rng.rand(8, 16), size=(64, 128))
+    assert hm.shape == (64, 128, 3)
+    save_image(out, str(tmp_path / "d.jpg"))
+    assert os.path.exists(tmp_path / "d.jpg")
+
+    sizes = [(4, 8), (2, 4)]
+    vals = rng.rand(sum(h * w * 9 for h, w in sizes)).astype(np.float32)
+    dump_level_heatmaps(vals, sizes, 9, str(tmp_path), canvas=(32, 64))
+    assert os.path.exists(tmp_path / "unc_level0.jpg")
+
+    norm = (img.astype(np.float32)[..., ::-1] - 123.0) / 58.0
+    back = denormalize(norm, (123.0, 123.0, 123.0), (58.0, 58.0, 58.0))
+    np.testing.assert_allclose(back, img, atol=2)
+
+
+def test_split_variants():
+    from aod_meh_hua_tpu.data import init_split_disjoint, update_labeled_set_reselect
+
+    rng = np.random.RandomState(0)
+    x_l, x_u, x_all = init_split_disjoint(50, 10, rng)
+    assert len(x_l) == 10 and len(x_u) == 40
+    assert np.intersect1d(x_l, x_u).size == 0
+
+    unc = np.linspace(0, 1, 50)
+    x_l2, x_u2 = update_labeled_set_reselect(unc, x_all, x_l, 5, rng)
+    assert len(x_l2) == 15
+    np.testing.assert_array_equal(x_l2, np.arange(35, 50))  # top-15 by uncertainty
+
+
+def test_profile_time_and_cost(capsys):
+    from aod_meh_hua_tpu.utils.profiling import profile_time, compiled_cost
+
+    x = jnp.ones((64, 64))
+    with profile_time("matmul", sync=x):
+        y = x @ x
+    assert "matmul" in capsys.readouterr().out
+    cost = compiled_cost(lambda a: a @ a, x)
+    assert cost["flops"] > 0
+
+
+def test_show_result(tmp_path, rng):
+    from aod_meh_hua_tpu.api import show_result
+
+    img = rng.randint(0, 255, (80, 120, 3)).astype(np.uint8)
+    dets = [np.array([[5, 5, 40, 40, 0.9]], np.float32)] + [np.zeros((0, 5), np.float32)] * 5
+    out = show_result(img, dets, out_file=str(tmp_path / "r.jpg"))
+    assert os.path.exists(tmp_path / "r.jpg")
+    assert not np.array_equal(out, img)
