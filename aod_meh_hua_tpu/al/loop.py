@@ -185,7 +185,15 @@ class ALDriver:
                 state, aux = self._train_step(orientation)(state, batch)
                 n_iter += 1
                 run_iter += 1
-                loss_sum += float(aux["loss"])
+                loss = float(aux["loss"])
+                if not np.isfinite(loss):
+                    # the reference's NaN/Inf asserts (My_L_ssd_head.py:281)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at iter {run_iter} "
+                        f"(cls {float(aux['loss_cls'])}, bbox {float(aux['loss_bbox'])}, "
+                        f"meh {float(aux['loss_meh'])})"
+                    )
+                loss_sum += loss
             dt = time.time() - t0
             self.log(
                 f"    epoch done: {n_iter} iters, mean loss "
