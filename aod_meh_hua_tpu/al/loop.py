@@ -267,13 +267,16 @@ class ALDriver:
             import aod_meh_hua_tpu
 
             from ..data.voc import VOC_CLASSES
+            from ..utils.env import collect_env
 
             save_cycle_checkpoint(
                 self.paths.save_dir, self.name, cycle, self.tcfg.epoch_ratio[0],
                 self._variables(state),
                 meta={"version": aod_meh_hua_tpu.__version__,
                       "CLASSES": list(VOC_CLASSES), "cycle": cycle,
-                      "n_labeled": int(len(x_l)), "family": getattr(self.cfg, "family", "retinanet")},
+                      "n_labeled": int(len(x_l)),
+                      "family": getattr(self.cfg, "family", "retinanet"),
+                      "env": collect_env()},
             )
 
             if cycle != self.al.cycles[-1]:

@@ -23,6 +23,13 @@ from ..engine.score import make_score_step
 from ..utils.config import RetinaNetConfig
 
 
+def score_num_objects(dataset, indices) -> np.ndarray:
+    """cal_numObj (reference apis/test.py:73-88): per-image GT object
+    count as the acquisition signal (an oracle/debug scorer)."""
+    return np.array([len(dataset.get_ann_info(int(i))["labels"]) for i in indices],
+                    dtype=np.float64)
+
+
 def score_pool(
     model,
     variables,
