@@ -32,7 +32,14 @@ def main():
     from aod_meh_hua_tpu.api import init_detector
     from aod_meh_hua_tpu.engine import EvalBatch
     from aod_meh_hua_tpu.engine.eval import make_eval_step
+    from aod_meh_hua_tpu.ops.nms import NMSResult
     from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig
+
+    # namedtuple pytrees must be registered for serialization
+    jexport.register_namedtuple_serialization(
+        EvalBatch, serialized_name="aod_meh_hua_tpu.EvalBatch")
+    jexport.register_namedtuple_serialization(
+        NMSResult, serialized_name="aod_meh_hua_tpu.NMSResult")
 
     cfg = SSDConfig() if args.family == "ssd" else RetinaNetConfig()
     model, variables = init_detector(cfg, checkpoint=args.checkpoint)
