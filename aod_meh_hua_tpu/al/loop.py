@@ -199,7 +199,27 @@ class ALDriver:
                 f"    epoch done: {n_iter} iters, mean loss "
                 f"{loss_sum / max(n_iter, 1):.4f}, lr {lr:g}, {dt:.1f}s"
             )
+            self._log_train_entry({
+                "mean_loss": loss_sum / max(n_iter, 1), "iters": n_iter,
+                "lr": lr, "seconds": round(dt, 2),
+                "img_per_s": round(n_iter * self.tcfg.batch_size / max(dt, 1e-9), 2),
+            })
         return state
+
+    def _log_train_entry(self, entry: dict):
+        """Append a jsonl train-log record (the TextLoggerHook analog);
+        forwarded to wandb when a run is active (the reference's optional
+        wandb tracking, tools/train_SSD.py:109-121)."""
+        os.makedirs(self.paths.work_dir, exist_ok=True)
+        with open(os.path.join(self.paths.work_dir, "train_log.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                wandb.log(entry)
+        except ImportError:
+            pass
 
     def evaluate(self, variables) -> float:
         assert self.val is not None

@@ -44,7 +44,8 @@ class MEHRetinaNet(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.backbone = ResNet(
+        backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
+        self.backbone = backbone_cls(
             block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
             mc_dropout=self.cfg.mc_dropout, dtype=dtype, name="backbone",
         )

@@ -94,6 +94,9 @@ class RetinaNetConfig:
     # MC-dropout baseline: channel dropout after every ReLU when > 0
     # (the reference's append_dropout surgery, functions.py:492-505)
     mc_dropout: float = 0.0
+    # rematerialize backbone blocks in the backward pass (jax.checkpoint):
+    # trades ~25% extra FLOPs for activation memory -> larger train batches
+    remat: bool = False
     test: TestCfg = field(default_factory=TestCfg)
     hua: HUACfg = field(default_factory=HUACfg)
 
