@@ -50,18 +50,62 @@ def _make_rect_voc(root, n=16, seed=0):
     return root
 
 
-def test_learns_visible_objects_heldout(tmp_path):
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
     from aod_meh_hua_tpu.al import ALDriver, ALPaths
     from aod_meh_hua_tpu.data import PipelineConfig
     from aod_meh_hua_tpu.utils.config import ALConfig, TrainConfig, tiny_test_config
 
-    root = _make_rect_voc(str(tmp_path / "VOC2007"))
+    tmp = tmp_path_factory.mktemp("learn")
+    root = _make_rect_voc(str(tmp / "VOC2007"))
+    # 4 empty (near-objectless) pool images for the acquisition check
+    rng = np.random.RandomState(7)
+    ids = [l.strip() for l in open(os.path.join(root, "ImageSets/Main/trainval.txt"))]
+    for i in range(4):
+        img_id = f"empty_{i:06d}"
+        cv2.imwrite(os.path.join(root, "JPEGImages", f"{img_id}.jpg"),
+                    rng.randint(0, 40, (300, 400, 3), np.uint8))
+        with open(os.path.join(root, "Annotations", f"{img_id}.xml"), "w") as f:
+            f.write(XML.format(w=400, h=300,
+                               objs=OBJ.format(n="aeroplane", x1=1, y1=1, x2=20, y2=20)))
+        ids.append(img_id)
+    with open(os.path.join(root, "ImageSets/Main/trainval.txt"), "w") as f:
+        f.write("\n".join(ids))
+
     cfg = tiny_test_config()
     tcfg = TrainConfig(batch_size=4, outer_epoch=1, epoch_ratio=(20,), lr=0.01,
                        lr_step_epoch=18)
     al = ALConfig(cycles=(0,), x_l_0_size=12, x_s_size=1, x_l_repeat=1)
-    paths = ALPaths(voc07=root, voc12=None, work_dir=str(tmp_path / "work"))
+    paths = ALPaths(voc07=root, voc12=None, work_dir=str(tmp / "work"))
     pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
     driver = ALDriver(cfg, tcfg, al, paths, pipeline=pipe, validate=True, log=None)
     metrics = driver.run()
+    return driver, cfg, pipe, paths, metrics
+
+
+def test_learns_visible_objects_heldout(trained):
+    _, _, _, _, metrics = trained
     assert metrics[0]["mAP"] >= 0.5, f"held-out mAP {metrics[0]['mAP']} — pipeline failed to learn"
+
+
+def test_hua_prefers_object_images(trained):
+    """With a trained model, HUA scores object images > 0 and (near-)
+    objectless images exactly 0 — the semantics zeroRate relies on."""
+    import jax
+
+    from aod_meh_hua_tpu.al.uncertainty import score_pool
+    from aod_meh_hua_tpu.data import EvalLoader
+    from aod_meh_hua_tpu.engine.checkpoint import cycle_ckpt_path, load_checkpoint
+    from aod_meh_hua_tpu.models import init_retinanet
+
+    driver, cfg, pipe, paths, _ = trained
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+    variables = load_checkpoint(
+        cycle_ckpt_path(paths.save_dir, "retinanet_meh", 0, 20), variables)
+    n = len(driver.pool)
+    loader = EvalLoader(driver.pool, np.arange(n), pipe, batch_size=4)
+    unc, mconf = score_pool(model, variables, cfg, loader, n)
+    obj, empty = unc[: n - 4], unc[n - 4:]
+    assert obj.mean() > 0.02, f"object images should carry uncertainty, got {obj.mean()}"
+    assert (empty <= obj.mean()).all()
+    assert mconf[: n - 4].mean() > mconf[n - 4:].mean()
