@@ -35,6 +35,17 @@ from .pipeline import PipelineConfig, load_image, prepare_sample
 
 ORIENTATIONS = ("landscape", "portrait")
 
+_SHARED_POOL = None
+
+
+def _shared_pool(num_workers: int):
+    """One process-wide decode pool: loaders are created per AL cycle and
+    a per-instance executor would leak threads across cycles."""
+    global _SHARED_POOL
+    if _SHARED_POOL is None:
+        _SHARED_POOL = ThreadPoolExecutor(max(num_workers, 1))
+    return _SHARED_POOL
+
 
 class _Prefetcher:
     """Run a batch-producing generator on a background thread."""
@@ -112,7 +123,7 @@ class TrainLoader:
         self.prefetch = prefetch
         self.augment_fn = augment_fn
         self.num_workers = num_workers
-        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        self._pool = _shared_pool(num_workers) if num_workers > 0 else None
         self._gen = model_cfg.build_anchor_generator()
 
     def __len__(self):
@@ -191,7 +202,7 @@ class EvalLoader:
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.prefetch = prefetch
-        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        self._pool = _shared_pool(num_workers) if num_workers > 0 else None
 
     def __len__(self):
         n = 0

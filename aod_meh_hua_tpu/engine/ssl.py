@@ -107,7 +107,6 @@ def make_pseudo_loss_fn(model, cfg, prob_threshold: float = 0.5,
         loss_bbox = jnp.zeros(())
         loss_meh = jnp.zeros(())
         for li, (s0, s1) in enumerate(bounds):
-            fn = functools.partial(level_image_loss, anchors=level_anchors[li])
             lc, lb, lnor = jax.vmap(
                 lambda ci, ri, vi: level_image_loss(ci, ri, level_anchors[li], vi)
             )(cls_scores[:, s0:s1], bbox_preds[:, s0:s1], batch.anchor_valid[:, s0:s1])
