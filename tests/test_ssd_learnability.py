@@ -43,7 +43,7 @@ def test_ssd_single_image_overfit():
     batch = Batch(images, jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(valid),
                   jnp.asarray(av), jnp.asarray(shapes))
 
-    for _ in range(250):
+    for _ in range(180):
         state, aux = step(state, batch)
     assert float(aux["loss"]) < 0.5, f"failed to overfit: loss {float(aux['loss'])}"
 
