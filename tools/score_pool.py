@@ -1,0 +1,118 @@
+"""Standalone pool scoring: score a VOC pool with any acquisition method.
+
+Covers the reference's manual scorer invocations (calculate_uncertainty,
+Ensemble_uncertainty, MCDropout_uncertainty — mmdet/apis/test.py:65,
+CalEnsembleUnc.py:86, CalMCDropoutUnc.py:86) as one CLI: load
+checkpoint(s), sweep the pool, write the uncertainty array.
+
+  python tools/score_pool.py --voc07 ... --checkpoint c.ckpt --out unc.npy
+  python tools/score_pool.py ... --method ensemble --checkpoint a.ckpt b.ckpt c.ckpt
+  python tools/score_pool.py ... --method mcdropout --passes 25
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Score an unlabeled pool")
+    p.add_argument("--voc07", required=True)
+    p.add_argument("--voc12", default=None)
+    p.add_argument("--split", default=None, help="image-id list (default trainval)")
+    p.add_argument("--family", default="retinanet", choices=["retinanet", "ssd"])
+    p.add_argument("--checkpoint", nargs="+", default=None,
+                   help="model checkpoint(s); 3+ for ensemble")
+    p.add_argument("--method", default="hua",
+                   choices=["hua", "random", "ensemble", "mcdropout", "numobj"])
+    p.add_argument("--uncertainty", default="Entropy_NMS",
+                   help="hua pool: Entropy_NMS | Entropy_ALL | Entropy_NoNMS")
+    p.add_argument("--agg", default=None)
+    p.add_argument("--passes", type=int, default=25, help="MC-dropout passes")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--out", default="uncertainty.npy")
+    p.add_argument("--seed", type=int, default=20)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--mini", action="store_true", help="tiny model (smoke mode)")
+    return p.parse_args()
+
+
+def main():
+    import dataclasses
+    import time
+
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
+
+    from aod_meh_hua_tpu.api import init_detector, _default_pipeline
+    from aod_meh_hua_tpu.al.baselines import score_pool_ensemble, score_pool_mc_dropout
+    from aod_meh_hua_tpu.al.uncertainty import score_num_objects, score_pool
+    from aod_meh_hua_tpu.data import ConcatVOC, EvalLoader, PipelineConfig, VOCDataset
+    from aod_meh_hua_tpu.models import build_retinanet, build_ssd
+    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig, tiny_test_config
+
+    if args.mini:
+        cfg = tiny_test_config()
+        pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+    else:
+        cfg = SSDConfig(compute_dtype=args.dtype) if args.family == "ssd" \
+            else RetinaNetConfig(compute_dtype=args.dtype)
+        pipe = None
+    if args.agg:
+        cfg = dataclasses.replace(cfg, hua=dataclasses.replace(cfg.hua, agg=args.agg))
+    cfg = dataclasses.replace(cfg, hua=dataclasses.replace(cfg.hua, pool=args.uncertainty))
+    pipe = pipe or _default_pipeline(cfg)
+
+    datasets = [VOCDataset(
+        args.split or os.path.join(args.voc07, "ImageSets/Main/trainval.txt"), args.voc07)]
+    if args.voc12:
+        datasets.append(VOCDataset(
+            os.path.join(args.voc12, "ImageSets/Main/trainval.txt"), args.voc12))
+    pool = ConcatVOC(datasets)
+    n = len(pool)
+    rng = np.random.RandomState(args.seed)
+    loader = EvalLoader(pool, np.arange(n), pipe, batch_size=args.batch_size)
+
+    ckpts = args.checkpoint or [None]
+    model, variables = init_detector(cfg, checkpoint=ckpts[0], seed=args.seed)
+
+    t0 = time.time()
+    if args.method == "random":
+        unc = rng.permutation(n).astype(np.float64)
+    elif args.method == "numobj":
+        unc = score_num_objects(pool, np.arange(n))
+    elif args.method == "ensemble":
+        assert len(ckpts) >= 2, "ensemble needs 2+ checkpoints"
+        from aod_meh_hua_tpu.engine.checkpoint import load_checkpoint
+
+        var_list = [variables] + [load_checkpoint(c, variables) for c in ckpts[1:]]
+        unc = score_pool_ensemble(model, var_list, cfg, loader, n)
+    elif args.method == "mcdropout":
+        mc_cfg = dataclasses.replace(cfg, mc_dropout=0.1)
+        mc_model = build_ssd(mc_cfg) if args.family == "ssd" and not args.mini \
+            else build_retinanet(mc_cfg)
+        unc = score_pool_mc_dropout(mc_model, variables, mc_cfg, loader, n,
+                                    jax.random.PRNGKey(args.seed), args.passes)
+    else:  # hua
+        unc, _ = score_pool(model, variables, cfg, loader, n, rng=rng, progress=True)
+    dt = time.time() - t0
+
+    np.save(args.out, unc)
+    print(f"scored {n} images with {args.method} in {dt:.1f}s "
+          f"({n / max(dt, 1e-9):.1f} img/s) -> {args.out}")
+    print(f"stats: zeros={int((unc == 0).sum())} mean={unc.mean():.4f} "
+          f"max={unc.max():.4f}")
+
+
+if __name__ == "__main__":
+    main()

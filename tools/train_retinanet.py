@@ -58,10 +58,13 @@ STR2UNC = {"SACA": "scaleAvg_classAvg", "SSCS": "scaleSum_classSum",
 
 def main():
     args = parse_args()
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: per-cycle re-jits and reruns skip compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
     from aod_meh_hua_tpu.al import ALDriver, ALPaths
     from aod_meh_hua_tpu.utils.config import (
         ALConfig, RetinaNetConfig, TrainConfig, load_reference_config,
