@@ -28,10 +28,15 @@ from ..ops.hua import hua_object_scores, hua_scale_scores, object_membership, pa
 from ..ops.nms import batched_multiclass_nms
 from ..utils.config import RetinaNetConfig
 from .batch import EvalBatch
-from .postprocess import make_candidate_selector, transform_scores
+from .postprocess import make_candidate_selector
 
 
 def _mi_fn(cfg: RetinaNetConfig, key: Optional[jax.Array]):
+    """Closed-form MI by default; seeded Monte-Carlo in parity mode.
+
+    In sampled mode the key is shared across the vmapped batch lanes —
+    each image's concentrations differ so the draws still differ; the
+    estimator stays unbiased per image."""
     if cfg.hua.mi_mode == "sampled":
         assert key is not None, "sampled MI mode needs a PRNG key"
         return functools.partial(
