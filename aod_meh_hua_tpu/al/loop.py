@@ -76,7 +76,13 @@ class ALDriver:
         validate: bool = True,
         name: str = "retinanet_meh",
         log: Optional[callable] = print,
+        num_devices: Optional[int] = None,
     ):
+        """num_devices > 1 runs data-parallel over a 'data' mesh: params
+        replicated, train batches and pool-scoring batches sharded on the
+        batch axis (the reference's DDP + rank-sharded scoring,
+        /root/reference/mmdet/apis/train.py:75-85, apis/test.py:197-315).
+        batch sizes are GLOBAL and must divide by num_devices."""
         self.cfg = model_cfg
         self.tcfg = train_cfg
         self.al = al_cfg
@@ -99,6 +105,20 @@ class ALDriver:
         self.name = name
         self.log = log or (lambda *a, **k: None)
         self.rng = np.random.RandomState(train_cfg.seed)
+
+        self.mesh = None
+        if num_devices is not None and num_devices > 1:
+            from ..parallel import make_mesh
+
+            if train_cfg.batch_size % num_devices:
+                raise ValueError(
+                    f"global batch_size {train_cfg.batch_size} not divisible "
+                    f"by num_devices {num_devices}")
+            if al_cfg.score_batch_size % num_devices:
+                raise ValueError(
+                    f"score_batch_size {al_cfg.score_batch_size} not divisible "
+                    f"by num_devices {num_devices}")
+            self.mesh = make_mesh(num_devices)
 
         datasets = [VOCDataset(paths.trainval07, paths.voc07)]
         if paths.voc12:
@@ -130,6 +150,21 @@ class ALDriver:
                 self.model, self.cfg.for_orientation(orientation)
             )
         return self._eval_steps[orientation]
+
+    def _shard(self, batch):
+        """Split a batch's leading axis over the data mesh (no-op single-device)."""
+        if self.mesh is None:
+            return batch
+        from ..parallel import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def _replicate(self, state):
+        if self.mesh is None:
+            return state
+        from ..parallel import replicate
+
+        return replicate(state, self.mesh)
 
     # ----- phases -----
 
@@ -182,7 +217,7 @@ class ALDriver:
                         opt_state=set_learning_rate(state.opt_state, lr * f))
                 elif run_iter == self.tcfg.warmup_iters and self.tcfg.warmup_iters:
                     state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
-                state, aux = self._train_step(orientation)(state, batch)
+                state, aux = self._train_step(orientation)(state, self._shard(batch))
                 n_iter += 1
                 run_iter += 1
                 loss = float(aux["loss"])
@@ -224,11 +259,11 @@ class ALDriver:
     def evaluate(self, variables) -> float:
         assert self.val is not None
         loader = EvalLoader(self.val, np.arange(len(self.val)), self.pipeline,
-                            batch_size=self.tcfg.batch_size)
+                            batch_size=self.al.score_batch_size)
         results, annotations = [], []
         order = []
         for orientation, batch, idx in loader:
-            dets = self._eval_step(orientation)(variables, batch)
+            dets = self._eval_step(orientation)(variables, self._shard(batch))
             results.extend(detections_to_per_class(dets, self.cfg.num_classes,
                                                    np.asarray(batch.valid)))
             order.extend(idx.tolist())
@@ -257,7 +292,7 @@ class ALDriver:
                 resumed = True
 
             self.log(f"== cycle {cycle}: |X_L|={len(x_l)} |X_U|={len(x_u)} ==")
-            state = self._fresh_model(cycle)
+            state = self._replicate(self._fresh_model(cycle))
             if load_cycle >= 0:
                 from ..engine.checkpoint import cycle_ckpt_path
 
@@ -302,11 +337,12 @@ class ALDriver:
             if cycle != self.al.cycles[-1]:
                 self.log("  scoring pool ...")
                 loader = EvalLoader(self.pool, np.arange(len(self.pool)), self.pipeline,
-                                    batch_size=self.tcfg.batch_size)
+                                    batch_size=self.al.score_batch_size)
                 t0 = time.time()
                 unc, mconf = score_pool(
                     self.model, self._variables(state), self.cfg, loader,
                     len(self.pool), rng=self.rng, steps=self._score_steps_cache(),
+                    mesh=self.mesh,
                 )
                 dt = time.time() - t0
                 self.log(f"  pool scored: {len(self.pool)} imgs in {dt:.1f}s "

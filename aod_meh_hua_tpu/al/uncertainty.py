@@ -40,10 +40,15 @@ def score_pool(
     key: Optional[jax.Array] = None,
     progress: bool = False,
     steps: Optional[Dict[str, object]] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Score every pool image; one compiled step per orientation (the
     module is shape-polymorphic, the jitted programs are not). Returns
-    (uncertainty [N], max_conf [N]) in dataset order."""
+    (uncertainty [N], max_conf [N]) in dataset order.
+
+    mesh: optional jax.sharding.Mesh — batches are split on the batch
+    axis across its devices (the pool scale-out axis, the TPU analog of
+    the reference's rank-sharded multi_gpu scoring, apis/test.py:197-315)."""
     if cfg.hua.pool == "Random":
         assert rng is not None
         return rng.permutation(num_images).astype(np.float64), np.zeros(num_images)
@@ -53,11 +58,17 @@ def score_pool(
             o: make_score_step(model, cfg.for_orientation(o))
             for o in ("landscape", "portrait")
         }
+    shard = (lambda b: b)
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        shard = lambda b: shard_batch(b, mesh)
     unc = np.zeros(num_images, np.float64)
     mconf = np.zeros(num_images, np.float64)
     t0 = time.time()
     n_done = 0
     for orientation, batch, idx in loader:
+        batch = shard(batch)
         u, mc = steps[orientation](variables, batch, key) if key is not None else \
             steps[orientation](variables, batch)
         u = np.asarray(u)[: len(idx)]

@@ -25,7 +25,18 @@ def init_distributed(
 ) -> dict:
     """Initialize multi-host jax. On Cloud TPU the arguments are
     auto-discovered; pass them explicitly for manual launches (the
-    'pytorch launcher env vars' analog). Returns a summary dict."""
+    'pytorch launcher env vars' analog). Returns a summary dict.
+
+    An EXPLICITLY requested multi-host launch that fails to initialize
+    raises instead of degrading silently to single-process (a
+    misconfigured coordinator must not train on 1/N of the data). Only
+    the no-argument auto-discovery path may fall through, since that is
+    how single-process runs look."""
+    explicit = (
+        coordinator_address is not None
+        or process_id is not None
+        or (num_processes or 0) > 1
+    )
     if num_processes is None or num_processes > 1 or coordinator_address:
         try:
             jax.distributed.initialize(
@@ -33,8 +44,16 @@ def init_distributed(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        except (ValueError, RuntimeError):
-            pass  # single-process / already initialized
+        except (ValueError, RuntimeError) as e:
+            if "already initialized" in str(e).lower():
+                pass
+            elif explicit:
+                raise RuntimeError(
+                    f"multi-host initialize(coordinator={coordinator_address!r}, "
+                    f"num_processes={num_processes}, process_id={process_id}) "
+                    f"failed: {e}"
+                ) from e
+            # else: bare auto-discovery on a single-process environment
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

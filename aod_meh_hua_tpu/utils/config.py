@@ -292,6 +292,10 @@ class ALConfig:
     zero_rate: float = 0.15              # train_RetinaNet.py:39
     use_max_conf: str = "False"          # False | min | max
     eval_interval: int = 3
+    # pool-scoring / eval batch size, decoupled from the train batch (the
+    # reference's scorer builds its own dataloader over cfg.data.test,
+    # tools/train_RetinaNet.py:221-246); 64 is the bench.py sweet spot
+    score_batch_size: int = 64
 
 
 def _cfg_get(ns: dict, path: str, default=None):

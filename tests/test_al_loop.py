@@ -33,7 +33,7 @@ def test_al_two_cycles(mini_voc, tmp_path):
     cfg = tiny_test_config()
     tcfg = TrainConfig(batch_size=2, outer_epoch=1, epoch_ratio=(1,), lr=0.01)
     al = ALConfig(cycles=(0, 1), x_l_0_size=4, x_s_size=2, x_l_repeat=1,
-                  zero_rate=0.5)
+                  zero_rate=0.5, score_batch_size=4)
     work_dir = str(tmp_path / "work")
     paths = ALPaths(voc07=mini_voc, voc12=None, work_dir=work_dir)
     pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
@@ -61,7 +61,7 @@ def test_al_two_cycles(mini_voc, tmp_path):
 def test_al_resume_cycle(mini_voc, tmp_path):
     cfg = tiny_test_config()
     tcfg = TrainConfig(batch_size=2, outer_epoch=1, epoch_ratio=(1,), lr=0.01)
-    al = ALConfig(cycles=(0, 1), x_l_0_size=4, x_s_size=2, x_l_repeat=1, zero_rate=0.0)
+    al = ALConfig(cycles=(0, 1), x_l_0_size=4, x_s_size=2, x_l_repeat=1, zero_rate=0.0, score_batch_size=4)
     work_dir = str(tmp_path / "work2")
     paths = ALPaths(voc07=mini_voc, voc12=None, work_dir=work_dir)
     pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)

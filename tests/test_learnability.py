@@ -75,7 +75,7 @@ def trained(tmp_path_factory):
     cfg = tiny_test_config()
     tcfg = TrainConfig(batch_size=4, outer_epoch=1, epoch_ratio=(20,), lr=0.01,
                        lr_step_epoch=18)
-    al = ALConfig(cycles=(0,), x_l_0_size=12, x_s_size=1, x_l_repeat=1)
+    al = ALConfig(cycles=(0,), x_l_0_size=12, x_s_size=1, x_l_repeat=1, score_batch_size=4)
     paths = ALPaths(voc07=root, voc12=None, work_dir=str(tmp / "work"))
     pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
     driver = ALDriver(cfg, tcfg, al, paths, pipeline=pipe, validate=True, log=None)

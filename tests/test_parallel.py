@@ -37,3 +37,89 @@ def test_init_distributed_single_process():
     info = init_distributed(num_processes=1, process_id=0)
     assert info["process_count"] == 1
     assert info["global_devices"] >= 1
+
+
+def test_init_distributed_explicit_failure_is_loud():
+    """A misconfigured EXPLICIT multi-host launch must raise, not degrade
+    silently to single-process (reference init_dist would crash too)."""
+    from aod_meh_hua_tpu.parallel.launch import init_distributed
+
+    with pytest.raises((RuntimeError, ValueError)):
+        # process_id >= num_processes is always invalid
+        init_distributed(coordinator_address="localhost:1",
+                         num_processes=2, process_id=5)
+
+
+def _mini_al_run(mini_voc, work_dir, num_devices):
+    from aod_meh_hua_tpu.al import ALDriver, ALPaths
+    from aod_meh_hua_tpu.data import PipelineConfig
+    from aod_meh_hua_tpu.utils.config import ALConfig, TrainConfig, tiny_test_config
+
+    cfg = tiny_test_config()
+    tcfg = TrainConfig(batch_size=8, outer_epoch=1, epoch_ratio=(1,), lr=0.01)
+    al = ALConfig(cycles=(0, 1), x_l_0_size=4, x_s_size=2, x_l_repeat=1,
+                  zero_rate=0.0, score_batch_size=8)
+    paths = ALPaths(voc07=mini_voc, voc12=None, work_dir=work_dir)
+    pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+    driver = ALDriver(cfg, tcfg, al, paths, pipeline=pipe, validate=False,
+                      log=None, num_devices=num_devices)
+    driver.run()
+
+
+@pytest.fixture(scope="module")
+def mini_voc(tmp_path_factory):
+    import os
+    from test_data import make_voc
+
+    root = str(tmp_path_factory.mktemp("dpvoc"))
+    base, lst, ids = make_voc(root, "VOC2007", n=14, seed=3)
+    with open(os.path.join(base, "ImageSets/Main/test.txt"), "w") as f:
+        f.write("\n".join(ids[:4]))
+    return base
+
+
+def test_al_driver_dp_selection_parity(mini_voc, tmp_path):
+    """Two full AL cycles through the PRODUCT path (ALDriver) on an
+    8-device mesh select the same images as the single-device run —
+    the capability the reference exposes as DDP + rank-sharded scoring
+    (apis/train.py:75-85, apis/test.py:197-315)."""
+    import os
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    w1, w8 = str(tmp_path / "dp1"), str(tmp_path / "dp8")
+    _mini_al_run(mini_voc, w1, num_devices=None)
+    _mini_al_run(mini_voc, w8, num_devices=8)
+
+    for f in ("X_L_1.npy", "X_U_1.npy"):
+        a = np.load(os.path.join(w1, f))
+        b = np.load(os.path.join(w8, f))
+        np.testing.assert_array_equal(a, b, err_msg=f)
+    u1 = np.load(os.path.join(w1, "Unc_1.npy"))
+    u8 = np.load(os.path.join(w8, "Unc_1.npy"))
+    # float reduction order differs across shards; ranking must not
+    np.testing.assert_allclose(u1, u8, rtol=2e-3, atol=1e-6)
+    assert (np.argsort(-u1) == np.argsort(-u8)).all()
+
+
+def test_cli_dp_selection_parity(mini_voc, tmp_path):
+    """The real CLI (tools/train_retinanet.py --num-devices 8) through 2
+    AL cycles selects the same images as its 1-device run."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               AOD_JAX_CACHE=os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
+    outs = {}
+    for tag, extra in (("d1", []), ("d8", ["--num-devices", "8"])):
+        work = str(tmp_path / f"cli_{tag}")
+        cmd = [sys.executable, os.path.join(repo, "tools/train_retinanet.py"),
+               "--mini", "--cpu", "--batch-size", "8", "--no-validate",
+               "--voc07", mini_voc, "--work-dir", work] + extra
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=560)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = np.load(os.path.join(work, "X_L_1.npy"))
+    np.testing.assert_array_equal(outs["d1"], outs["d8"])

@@ -33,7 +33,10 @@ def parse_args():
                    help="hua pool: Entropy_NMS | Entropy_ALL | Entropy_NoNMS")
     p.add_argument("--agg", default=None)
     p.add_argument("--passes", type=int, default=25, help="MC-dropout passes")
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="GLOBAL sweep batch (split across --num-devices)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="shard the pool sweep over the first N jax devices")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--out", default="uncertainty.npy")
     p.add_argument("--seed", type=int, default=20)
@@ -62,8 +65,12 @@ def main():
     from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig, tiny_test_config
 
     if args.mini:
-        cfg = tiny_test_config()
-        pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+        if args.family == "ssd":
+            cfg = SSDConfig(width_mult=0.125, max_gt=8)
+            pipe = None
+        else:
+            cfg = tiny_test_config()
+            pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
     else:
         cfg = SSDConfig(compute_dtype=args.dtype) if args.family == "ssd" \
             else RetinaNetConfig(compute_dtype=args.dtype)
@@ -86,6 +93,15 @@ def main():
     ckpts = args.checkpoint or [None]
     model, variables = init_detector(cfg, checkpoint=ckpts[0], seed=args.seed)
 
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from aod_meh_hua_tpu.parallel import make_mesh, replicate
+
+        assert args.batch_size % args.num_devices == 0, \
+            "--batch-size must divide by --num-devices"
+        mesh = make_mesh(args.num_devices)
+        variables = replicate(variables, mesh)
+
     t0 = time.time()
     if args.method == "random":
         unc = rng.permutation(n).astype(np.float64)
@@ -99,12 +115,14 @@ def main():
         unc = score_pool_ensemble(model, var_list, cfg, loader, n)
     elif args.method == "mcdropout":
         mc_cfg = dataclasses.replace(cfg, mc_dropout=0.1)
-        mc_model = build_ssd(mc_cfg) if args.family == "ssd" and not args.mini \
+        # dispatch on the config family (an SSDConfig mini is still SSD)
+        mc_model = build_ssd(mc_cfg) if mc_cfg.family == "ssd" \
             else build_retinanet(mc_cfg)
         unc = score_pool_mc_dropout(mc_model, variables, mc_cfg, loader, n,
                                     jax.random.PRNGKey(args.seed), args.passes)
     else:  # hua
-        unc, _ = score_pool(model, variables, cfg, loader, n, rng=rng, progress=True)
+        unc, _ = score_pool(model, variables, cfg, loader, n, rng=rng, progress=True,
+                            mesh=mesh)
     dt = time.time() - t0
 
     np.save(args.out, unc)

@@ -39,7 +39,13 @@ def parse_args():
     p.add_argument("--score-thr", type=float, default=0.3, help="HUA object score threshold")
     p.add_argument("--iou-thr", type=float, default=0.5, help="HUA membership IoU threshold")
     p.add_argument("--seed", type=int, default=20)
-    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="GLOBAL train batch (split across --num-devices)")
+    p.add_argument("--score-batch-size", type=int, default=None,
+                   help="pool-scoring / eval batch size (default 64)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel over the first N jax devices "
+                        "(the reference's DDP mode, train.py:75-85)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--cycles", type=int, default=None, help="override number of AL cycles")
     p.add_argument("--pretrained", default=None,
@@ -82,7 +88,7 @@ def main():
         model_cfg = tiny_test_config()
         train_cfg = dataclasses.replace(train_cfg, outer_epoch=1, epoch_ratio=(1,))
         al_cfg = dataclasses.replace(al_cfg, cycles=(0, 1), x_l_0_size=4,
-                                     x_s_size=2, x_l_repeat=1)
+                                     x_s_size=2, x_l_repeat=1, score_batch_size=8)
         pipeline = PipelineConfig(img_scale=(250, 120), canvas=model_cfg.canvas)
 
     hua = model_cfg.hua
@@ -101,12 +107,13 @@ def main():
     al_cfg = dataclasses.replace(
         al_cfg, zero_rate=args.zero_rate,
         **({"cycles": tuple(range(args.cycles))} if args.cycles else {}),
+        **({"score_batch_size": args.score_batch_size} if args.score_batch_size else {}),
     )
 
     np.random.seed(args.seed)
     paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
     driver = ALDriver(model_cfg, train_cfg, al_cfg, paths, pipeline=pipeline,
-                      validate=not args.no_validate)
+                      validate=not args.no_validate, num_devices=args.num_devices)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import attach_pretrained_backbone
 

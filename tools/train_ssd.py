@@ -31,7 +31,12 @@ def parse_args():
     p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--iou-thr", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=20)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="GLOBAL train batch (split across --num-devices)")
+    p.add_argument("--score-batch-size", type=int, default=None,
+                   help="pool-scoring / eval batch size (default 64)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel over the first N jax devices")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--cycles", type=int, default=None)
     p.add_argument("--pretrained", default=None, help="mmcv vgg16_caffe .pth")
@@ -74,7 +79,7 @@ def main():
         train_cfg = dataclasses.replace(train_cfg, outer_epoch=1, epoch_ratio=(1,),
                                         warmup_iters=0)
         al_cfg = dataclasses.replace(al_cfg, cycles=(0, 1), x_l_0_size=4,
-                                     x_s_size=2, x_l_repeat=1)
+                                     x_s_size=2, x_l_repeat=1, score_batch_size=8)
 
     hua = model_cfg.hua
     if args.uncertainty:
@@ -87,11 +92,14 @@ def main():
     model_cfg = dataclasses.replace(model_cfg, hua=hua)
     if args.cycles:
         al_cfg = dataclasses.replace(al_cfg, cycles=tuple(range(args.cycles)))
+    if args.score_batch_size:
+        al_cfg = dataclasses.replace(al_cfg, score_batch_size=args.score_batch_size)
 
     np.random.seed(args.seed)
     paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
     driver = ALDriver(model_cfg, train_cfg, al_cfg, paths,
-                      validate=not args.no_validate, name="ssd_meh")
+                      validate=not args.no_validate, name="ssd_meh",
+                      num_devices=args.num_devices)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import load_torch_state_dict
         from aod_meh_hua_tpu.models.vgg import convert_mmcv_vgg16
