@@ -308,16 +308,71 @@ def _cfg_get(ns: dict, path: str, default=None):
     return cur
 
 
+# top-level keys the loader understands (or knowingly ignores because the
+# TPU rebuild subsumes them: log/dist/runner plumbing is host-loop code here)
+_KNOWN_TOP_KEYS = {
+    "checkpoint_config", "log_config", "custom_hooLoks", "custom_hooks",
+    "dist_params", "log_level", "load_from", "resume_from", "workflow",
+    "uncertainty_pool", "uncertainty_type", "uncertainty_pool2",
+    "input_size", "model", "optimizer", "optimizer_config", "lr_config",
+    "runner", "dataset_type", "data_root", "img_norm_cfg",
+    "train_pipeline", "test_pipeline", "data", "evaluation",
+    "X_S_size", "X_L_0_size", "cycles", "epoch_ratio", "outer_epoch",
+    "X_L_repeat", "X_U_repeat", "train_cfg", "k",
+}
+
+_LOSS_CLS_MAP = {
+    "EDL_Softmax_FocalLoss": "edl_softmax_focal",
+    "EDL_FocalLoss": "edl_focal",
+    "EDL_ReLU": "edl_relu",
+    "FocalLoss": "focal",
+    "MyFocalLoss": "focal",
+}
+
+
+def _warn(msg: str):
+    import warnings
+
+    warnings.warn(f"load_reference_config: {msg}", stacklevel=3)
+
+
+def reference_data_roots(ns: dict):
+    """Extract (voc07, voc12) dataset roots from a loaded reference
+    config's data.train.dataset.img_prefix / data_root
+    (Config_RetinaNet.py:98,133-139). Returns (voc07, voc12-or-None)."""
+    prefixes = _cfg_get(ns, "data.train.dataset.img_prefix") or \
+        _cfg_get(ns, "data.train.img_prefix")
+    if prefixes is None and ns.get("data_root"):
+        root = ns["data_root"]
+        prefixes = [root + "VOC2007/", root + "VOC2012/"]
+    if prefixes is None:
+        return None, None
+    if isinstance(prefixes, str):
+        prefixes = [prefixes]
+    voc07 = next((p.rstrip("/") for p in prefixes if "2007" in p), None)
+    voc12 = next((p.rstrip("/") for p in prefixes if "2012" in p), None)
+    return voc07, voc12
+
+
 def load_reference_config(path: str):
     """Load a reference-style plain-python config file.
 
     Executes the file (the mmcv Config.fromfile semantic for the two live
-    monolithic configs) and maps the keys used by the AL pipeline onto the
-    dataclasses above. Returns (RetinaNetConfig-or-SSD dict, TrainConfig,
-    ALConfig, raw namespace).
+    monolithic configs, Config_RetinaNet.py / Config_SSD.py) and maps
+    every AL-relevant key onto the dataclasses above; dispatches on
+    model.type to build a RetinaNetConfig or SSDConfig. Unrecognized
+    top-level keys and un-honorable settings warn loudly; an optimizer
+    or classification loss the engine cannot reproduce raises.
+    Returns (model_cfg, TrainConfig, ALConfig, raw namespace).
     """
     ns = runpy.run_path(path)
+    for key in sorted(k for k in ns if not k.startswith("__")):
+        if key not in _KNOWN_TOP_KEYS and not callable(ns[key]) \
+                and not isinstance(ns[key], type(runpy)):
+            _warn(f"unrecognized top-level key {key!r} is ignored")
+
     model = ns.get("model", {})
+    family = "ssd" if "SSD" in str(model.get("type", "")).upper() else "retinanet"
     ag = _cfg_get(model, "bbox_head.anchor_generator", {}) or {}
     test_cfg = model.get("test_cfg", {}) or {}
     train_cfg = model.get("train_cfg", {}) or {}
@@ -325,39 +380,104 @@ def load_reference_config(path: str):
     coder = _cfg_get(model, "bbox_head.bbox_coder", {}) or {}
     loss_cls = _cfg_get(model, "bbox_head.loss_cls", {}) or {}
     nms = test_cfg.get("nms", {}) or {}
+    neck = model.get("neck", {}) or {}
 
-    anchor = AnchorConfig(
-        strides=tuple(ag.get("strides", (8, 16, 32, 64, 128))),
-        ratios=tuple(ag.get("ratios", (0.5, 1.0, 2.0))),
-        octave_base_scale=ag.get("octave_base_scale", 4),
-        scales_per_octave=ag.get("scales_per_octave", 3),
+    hua = HUACfg(
+        pool=ns.get("uncertainty_pool", "Entropy_NMS"),
+        unc_type=ns.get("uncertainty_type", "Epistemic").lower(),
+        agg=ns.get("uncertainty_pool2", "objectSum_scaleMax_classSum"),
     )
-    model_cfg = RetinaNetConfig(
-        num_classes=_cfg_get(model, "bbox_head.num_classes", 20),
-        stacked_convs=_cfg_get(model, "bbox_head.stacked_convs", 4),
-        feat_channels=_cfg_get(model, "bbox_head.feat_channels", 256),
-        anchor=anchor,
-        target_means=tuple(coder.get("target_means", (0.0,) * 4)),
-        target_stds=tuple(coder.get("target_stds", (1.0,) * 4)),
-        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
-        neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
-        min_pos_iou=assigner.get("min_pos_iou", 0.0),
-        gt_max_assign_all=assigner.get("gt_max_assign_all", True),
-        focal_gamma=loss_cls.get("gamma", 2.0),
-        focal_alpha=loss_cls.get("alpha", 0.25),
-        test=TestCfg(
-            nms_pre=test_cfg.get("nms_pre", 1000),
-            score_thr=test_cfg.get("score_thr", 0.05),
-            nms_iou_thr=nms.get("iou_threshold", 0.5),
-            max_per_img=test_cfg.get("max_per_img", 100),
-        ),
-        hua=HUACfg(
-            pool=ns.get("uncertainty_pool", "Entropy_NMS"),
-            unc_type=ns.get("uncertainty_type", "Epistemic").lower(),
-            agg=ns.get("uncertainty_pool2", "objectSum_scaleMax_classSum"),
-        ),
-    )
+
+    if family == "ssd":
+        tcfg_defaults = dict(max_per_img=200, score_thr=0.02)
+        model_cfg = SSDConfig(
+            num_classes=_cfg_get(model, "bbox_head.num_classes", 20),
+            input_size=ns.get("input_size", ag.get("input_size", 300)),
+            neck_out_channels=tuple(neck.get("out_channels",
+                                             (512, 1024, 512, 256, 256, 256))),
+            level_strides=tuple(neck.get("level_strides", (2, 2, 1, 1))),
+            level_paddings=tuple(neck.get("level_paddings", (1, 1, 0, 0))),
+            l2_norm_scale=neck.get("l2_norm_scale", 20.0),
+            anchor=SSDAnchorCfg(
+                strides=tuple(ag.get("strides", (8, 16, 32, 64, 100, 300))),
+                ratios=tuple(tuple(r) for r in ag.get(
+                    "ratios", ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)))),
+                basesize_ratio_range=tuple(ag.get("basesize_ratio_range", (0.15, 0.9))),
+                input_size=ag.get("input_size", ns.get("input_size", 300)),
+            ),
+            target_means=tuple(coder.get("target_means", (0.0,) * 4)),
+            target_stds=tuple(coder.get("target_stds", (0.1, 0.1, 0.2, 0.2))),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+            min_pos_iou=assigner.get("min_pos_iou", 0.0),
+            gt_max_assign_all=assigner.get("gt_max_assign_all", False),
+            neg_pos_ratio=train_cfg.get("neg_pos_ratio", 3),
+            smoothl1_beta=train_cfg.get("smoothl1_beta", 1.0),
+            test=TestCfg(
+                nms_pre=test_cfg.get("nms_pre", 1000),
+                score_thr=test_cfg.get("score_thr", tcfg_defaults["score_thr"]),
+                nms_iou_thr=nms.get("iou_threshold", 0.5),
+                max_per_img=test_cfg.get("max_per_img", tcfg_defaults["max_per_img"]),
+            ),
+            hua=hua,
+        )
+    else:
+        if loss_cls:
+            lc_type = loss_cls.get("type", "EDL_Softmax_FocalLoss")
+            if lc_type not in _LOSS_CLS_MAP:
+                raise ValueError(
+                    f"loss_cls.type {lc_type!r} has no TPU engine equivalent "
+                    f"(known: {sorted(_LOSS_CLS_MAP)})")
+            cls_loss = _LOSS_CLS_MAP[lc_type]
+        else:
+            cls_loss = "edl_softmax_focal"
+        model_cfg = RetinaNetConfig(
+            num_classes=_cfg_get(model, "bbox_head.num_classes", 20),
+            frozen_stages=_cfg_get(model, "backbone.frozen_stages", 1),
+            fpn_channels=neck.get("out_channels", 256),
+            stacked_convs=_cfg_get(model, "bbox_head.stacked_convs", 4),
+            feat_channels=_cfg_get(model, "bbox_head.feat_channels", 256),
+            anchor=AnchorConfig(
+                strides=tuple(ag.get("strides", (8, 16, 32, 64, 128))),
+                ratios=tuple(ag.get("ratios", (0.5, 1.0, 2.0))),
+                octave_base_scale=ag.get("octave_base_scale", 4),
+                scales_per_octave=ag.get("scales_per_octave", 3),
+            ),
+            target_means=tuple(coder.get("target_means", (0.0,) * 4)),
+            target_stds=tuple(coder.get("target_stds", (1.0,) * 4)),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
+            min_pos_iou=assigner.get("min_pos_iou", 0.0),
+            gt_max_assign_all=assigner.get("gt_max_assign_all", True),
+            cls_loss=cls_loss,
+            focal_gamma=loss_cls.get("gamma", 2.0),
+            focal_alpha=loss_cls.get("alpha", 0.25),
+            test=TestCfg(
+                nms_pre=test_cfg.get("nms_pre", 1000),
+                score_thr=test_cfg.get("score_thr", 0.05),
+                nms_iou_thr=nms.get("iou_threshold", 0.5),
+                max_per_img=test_cfg.get("max_per_img", 100),
+            ),
+            hua=hua,
+        )
+
     opt = ns.get("optimizer", {})
+    if opt.get("type", "SGD") != "SGD":
+        raise ValueError(
+            f"optimizer.type {opt.get('type')!r}: the engine implements the "
+            f"reference's SGD(momentum, wd) exactly; other optimizers would "
+            f"silently change training semantics")
+    lr_cfg = ns.get("lr_config", {}) or {}
+    if lr_cfg.get("policy", "step") != "step":
+        _warn(f"lr_config.policy {lr_cfg.get('policy')!r} unsupported; using 'step'")
+    steps = lr_cfg.get("step", [2])
+    if len(steps) > 1:
+        _warn(f"lr_config.step {steps}: only the first step epoch is honored "
+              f"(the AL schedule re-inits per run; train_RetinaNet.py:179-200)")
+    warmup = lr_cfg.get("warmup")
+    if warmup not in (None, "linear"):
+        _warn(f"lr_config.warmup {warmup!r} unsupported; using linear")
+    opt_cfg = ns.get("optimizer_config", {}) or {}
     train = TrainConfig(
         lr=opt.get("lr", 0.001),
         momentum=opt.get("momentum", 0.9),
@@ -365,13 +485,20 @@ def load_reference_config(path: str):
         batch_size=_cfg_get(ns, "data.samples_per_gpu", 2),
         outer_epoch=ns.get("outer_epoch", 2),
         epoch_ratio=tuple(ns.get("epoch_ratio", (3, 1))),
+        lr_step_epoch=steps[0],
+        grad_clip=(opt_cfg.get("grad_clip") or {}).get("max_norm")
+        if isinstance(opt_cfg.get("grad_clip"), dict) else opt_cfg.get("grad_clip"),
+        warmup_iters=lr_cfg.get("warmup_iters", 0) if warmup else 0,
+        warmup_ratio=lr_cfg.get("warmup_ratio", 1e-3),
     )
     al = ALConfig(
         cycles=tuple(ns.get("cycles", range(7))),
         x_l_0_size=ns.get("X_L_0_size", 16551 // 20),
         x_s_size=ns.get("X_S_size", 16551 // 40),
+        # X_L_repeat overrides RepeatDataset times (active_datasets.py:63)
         x_l_repeat=ns.get("X_L_repeat", 2),
         x_u_repeat=ns.get("X_U_repeat", 2),
+        eval_interval=_cfg_get(ns, "evaluation.interval", 3),
     )
     return model_cfg, train, al, ns
 

@@ -34,11 +34,97 @@ def test_load_repo_config():
     reason="reference tree not mounted",
 )
 def test_load_actual_reference_config():
-    """The loader consumes the reference's own live config unchanged."""
+    """The loader consumes the reference's own live RetinaNet config
+    unchanged, honoring every mapped field (Config_RetinaNet.py)."""
     model, train, al, ns = load_reference_config(
         "/root/reference/configs/_base_/Config_RetinaNet.py"
     )
+    assert model.family == "retinanet"
     assert model.num_classes == 20
+    assert model.frozen_stages == 1
+    assert model.fpn_channels == 256 and model.stacked_convs == 4
+    assert model.cls_loss == "edl_softmax_focal"   # loss_cls.type mapping
+    assert model.focal_gamma == pytest.approx(2.0)
+    assert model.target_stds == (1.0, 1.0, 1.0, 1.0)
+    assert model.pos_iou_thr == 0.5 and model.neg_iou_thr == 0.4
+    assert model.gt_max_assign_all is True
+    assert model.test.nms_pre == 1000 and model.test.max_per_img == 100
+    assert model.hua.pool == "Entropy_NMS"
+    assert model.hua.unc_type == "epistemic"
     assert model.hua.agg == "objectSum_scaleMax_classSum"
-    assert al.x_s_size == 16551 // 40
+    assert train.lr == pytest.approx(0.001)
+    assert train.momentum == pytest.approx(0.9)
+    assert train.weight_decay == pytest.approx(1e-4)
     assert train.batch_size == 2
+    assert train.outer_epoch == 2 and train.epoch_ratio == (3, 1)
+    assert train.lr_step_epoch == 2          # lr_config.step=[2]
+    assert train.warmup_iters == 0           # no warmup in retina config
+    assert train.grad_clip is None           # optimizer_config grad_clip=None
+    assert al.cycles == (0, 1, 2, 3, 4, 5, 6)
+    assert al.x_l_0_size == 16551 // 20 and al.x_s_size == 16551 // 40
+    assert al.x_l_repeat == 2
+    assert al.eval_interval == 3             # evaluation.interval
+    from aod_meh_hua_tpu.utils.config import reference_data_roots
+
+    voc07, voc12 = reference_data_roots(ns)
+    assert voc07.endswith("VOC2007") and voc12.endswith("VOC2012")
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/configs/_base_/Config_SSD.py"),
+    reason="reference tree not mounted",
+)
+def test_load_actual_reference_ssd_config():
+    """The loader dispatches Config_SSD.py to an SSDConfig with the SSD
+    schedule (warmup, lr step, epoch_ratio) fully honored."""
+    from aod_meh_hua_tpu.utils.config import SSDConfig
+
+    model, train, al, ns = load_reference_config(
+        "/root/reference/configs/_base_/Config_SSD.py"
+    )
+    assert isinstance(model, SSDConfig) and model.family == "ssd"
+    assert model.input_size == 300
+    assert model.neck_out_channels == (512, 1024, 512, 256, 256, 256)
+    assert model.level_strides == (2, 2, 1, 1)
+    assert model.level_paddings == (1, 1, 0, 0)
+    assert model.l2_norm_scale == pytest.approx(20.0)
+    assert model.anchor.strides == (8, 16, 32, 64, 100, 300)
+    assert model.anchor.ratios == ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
+    assert model.anchor.basesize_ratio_range == (0.15, 0.9)
+    assert model.target_stds == (0.1, 0.1, 0.2, 0.2)
+    assert model.pos_iou_thr == 0.5 and model.neg_iou_thr == 0.5
+    assert model.gt_max_assign_all is False
+    assert model.neg_pos_ratio == 3
+    assert model.smoothl1_beta == pytest.approx(1.0)
+    assert model.test.score_thr == pytest.approx(0.02)
+    assert model.test.max_per_img == 200
+    assert train.batch_size == 8
+    assert train.epoch_ratio == (5, 1) and train.outer_epoch == 2
+    assert train.lr_step_epoch == 1          # (second) lr_config.step=[1]
+    assert train.warmup_iters == 500         # lr_config linear warmup
+    assert train.warmup_ratio == pytest.approx(0.001)
+    assert al.cycles == tuple(range(11))
+    assert al.x_l_0_size == 1000 and al.x_s_size == 1000
+    assert al.x_l_repeat == 16
+    assert al.eval_interval == 5             # evaluation.interval=5
+
+
+def test_loader_rejects_unknown_optimizer_and_loss(tmp_path):
+    bad_opt = tmp_path / "bad_opt.py"
+    bad_opt.write_text("optimizer = dict(type='Adam', lr=1e-3)\n")
+    with pytest.raises(ValueError, match="optimizer.type"):
+        load_reference_config(str(bad_opt))
+
+    bad_loss = tmp_path / "bad_loss.py"
+    bad_loss.write_text(
+        "model = dict(type='SSL_L_RetinaNet', "
+        "bbox_head=dict(loss_cls=dict(type='SeesawLoss')))\n")
+    with pytest.raises(ValueError, match="loss_cls.type"):
+        load_reference_config(str(bad_loss))
+
+
+def test_loader_warns_on_unknown_keys(tmp_path):
+    cfg = tmp_path / "extra.py"
+    cfg.write_text("my_novel_knob = 3\noptimizer = dict(type='SGD', lr=0.01)\n")
+    with pytest.warns(UserWarning, match="my_novel_knob"):
+        load_reference_config(str(cfg))

@@ -25,7 +25,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train MEH-RetinaNet with active learning")
     p.add_argument("--config", default=None, help="reference-style config file")
     p.add_argument("--work-dir", default="work_dirs/retinanet_meh")
-    p.add_argument("--voc07", required=True, help="path to .../VOC2007")
+    p.add_argument("--voc07", default=None,
+                   help="path to .../VOC2007 (default: the config's data_root)")
     p.add_argument("--voc12", default=None, help="path to .../VOC2012")
     p.add_argument("--uncertainty", default=None,
                    help="pool: Random | Entropy_ALL | Entropy_NMS | Entropy_NoNMS")
@@ -78,9 +79,17 @@ def main():
     )
 
     if args.config:
-        model_cfg, train_cfg, al_cfg, _ = load_reference_config(args.config)
+        from aod_meh_hua_tpu.utils.config import reference_data_roots
+
+        model_cfg, train_cfg, al_cfg, ns = load_reference_config(args.config)
+        if not args.voc07 and not args.voc12:
+            # all-or-nothing: an explicit --voc07 must not pick up the
+            # config's (likely machine-specific) VOC2012 data_root
+            args.voc07, args.voc12 = reference_data_roots(ns)
     else:
         model_cfg, train_cfg, al_cfg = RetinaNetConfig(), TrainConfig(), ALConfig()
+    if not args.voc07:
+        raise SystemExit("--voc07 is required (no data_root in the config)")
     pipeline = None
     if args.mini:
         from aod_meh_hua_tpu.data import PipelineConfig

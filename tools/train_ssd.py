@@ -18,8 +18,11 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train MEH-SSD300 with active learning")
+    p.add_argument("--config", default=None,
+                   help="reference-style config file (Config_SSD.py semantics)")
     p.add_argument("--work-dir", default="work_dirs/ssd_meh")
-    p.add_argument("--voc07", required=True)
+    p.add_argument("--voc07", default=None,
+                   help="path to .../VOC2007 (default: the config's data_root)")
     p.add_argument("--voc12", default=None)
     p.add_argument("--uncertainty", default=None)
     p.add_argument("--Unc-type", dest="unc_type", default=None)
@@ -62,17 +65,34 @@ def main():
     from aod_meh_hua_tpu.al import ALDriver, ALPaths
     from aod_meh_hua_tpu.utils.config import ALConfig, SSDConfig, TrainConfig
 
-    model_cfg = SSDConfig(compute_dtype=args.dtype)
-    # SSD schedule (Config_SSD.py:125-171)
-    train_cfg = TrainConfig(
-        batch_size=args.batch_size, seed=args.seed,
-        outer_epoch=2, epoch_ratio=(5, 1), lr_step_epoch=1,
-        warmup_iters=500, warmup_ratio=1e-3,
-    )
-    al_cfg = ALConfig(
-        cycles=tuple(range(11)), x_l_0_size=1000, x_s_size=1000,
-        x_l_repeat=16, x_u_repeat=16, zero_rate=args.zero_rate,
-    )
+    if args.config:
+        from aod_meh_hua_tpu.utils.config import (
+            load_reference_config, reference_data_roots,
+        )
+
+        model_cfg, train_cfg, al_cfg, ns = load_reference_config(args.config)
+        assert model_cfg.family == "ssd", \
+            f"{args.config} is not an SSD config (model.type dispatch)"
+        if not args.voc07 and not args.voc12:
+            args.voc07, args.voc12 = reference_data_roots(ns)
+        model_cfg = dataclasses.replace(model_cfg, compute_dtype=args.dtype)
+        train_cfg = dataclasses.replace(train_cfg, seed=args.seed,
+                                        batch_size=args.batch_size)
+        al_cfg = dataclasses.replace(al_cfg, zero_rate=args.zero_rate)
+    else:
+        model_cfg = SSDConfig(compute_dtype=args.dtype)
+        # SSD schedule (Config_SSD.py:125-171)
+        train_cfg = TrainConfig(
+            batch_size=args.batch_size, seed=args.seed,
+            outer_epoch=2, epoch_ratio=(5, 1), lr_step_epoch=1,
+            warmup_iters=500, warmup_ratio=1e-3,
+        )
+        al_cfg = ALConfig(
+            cycles=tuple(range(11)), x_l_0_size=1000, x_s_size=1000,
+            x_l_repeat=16, x_u_repeat=16, zero_rate=args.zero_rate,
+        )
+    if not args.voc07:
+        raise SystemExit("--voc07 is required (no data_root in the config)")
 
     if args.mini:
         model_cfg = dataclasses.replace(model_cfg, width_mult=0.125, max_gt=8)
