@@ -197,7 +197,8 @@ class ALDriver:
             variables.get("batch_stats", {}), self.tx.init(variables["params"]),
         )
 
-    def _train_run(self, state, x_l, run_seed: int, is_final_run: bool):
+    def _train_run(self, state, x_l, run_seed: int, is_final_run: bool,
+                   cycle: int = 0, run_idx: int = 0, start_epoch: int = 0):
         loader = TrainLoader(
             self.pool, x_l, self.cfg, self.pipeline,
             batch_size=self.tcfg.batch_size, repeat=self.al.x_l_repeat,
@@ -205,7 +206,11 @@ class ALDriver:
         )
         n_inner = self.tcfg.epoch_ratio[0]
         run_iter = 0  # warmup restarts per run (each run is a new runner)
-        for inner in range(n_inner):
+        if start_epoch:
+            # mid-cycle resume: replay the consumed RNG + warmup counter
+            loader.burn_epochs(start_epoch)
+            run_iter = start_epoch * len(loader)
+        for inner in range(start_epoch, n_inner):
             lr = self.tcfg.lr * (0.1 if (is_final_run and inner >= self.tcfg.lr_step_epoch) else 1.0)
             state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
             t0, n_iter, loss_sum = time.time(), 0, 0.0
@@ -239,6 +244,15 @@ class ALDriver:
                 "lr": lr, "seconds": round(dt, 2),
                 "img_per_s": round(n_iter * self.tcfg.batch_size / max(dt, 1e-9), 2),
             })
+            ival = self.tcfg.ckpt_interval
+            if ival and ((inner + 1) % ival == 0 or inner + 1 == n_inner):
+                from ..engine.checkpoint import save_train_state
+
+                save_train_state(
+                    self.paths.save_dir, state,
+                    {"cycle": cycle, "run": run_idx, "epoch": inner,
+                     "run_iter": run_iter, "name": self.name},
+                )
         return state
 
     def _log_train_entry(self, entry: dict):
@@ -276,8 +290,22 @@ class ALDriver:
 
     # ----- the main loop -----
 
-    def run(self, resume_cycle: int = -1, load_cycle: int = -1):
+    def run(self, resume_cycle: int = -1, load_cycle: int = -1,
+            resume_from: Optional[str] = None):
+        """resume_from: path to a save_dir (or train_state.ckpt) written
+        by the epoch-granular snapshotter — resumes training INSIDE the
+        interrupted cycle at the exact next epoch, bit-identical to the
+        uninterrupted run (the reference's cfg.resume_from,
+        apis/train_Lambda.py:72-75). resume_cycle remains the coarser
+        cycle-granular restart (ResumeCycle)."""
         os.makedirs(self.paths.work_dir, exist_ok=True)
+        mid = None  # (progress dict) for mid-cycle resume
+        if resume_from:
+            d = resume_from if os.path.isdir(resume_from) else os.path.dirname(resume_from)
+            with open(os.path.join(d, "train_state.json")) as f:
+                mid = json.load(f)
+            mid["dir"] = d
+            resume_cycle = mid["cycle"]
         x_l, x_u, x_all = init_split(len(self.pool), self.al.x_l_0_size, self.rng)
         save_cycle_state(self.paths.work_dir, 0, x_l, x_u)
         resumed = resume_cycle < 0
@@ -307,10 +335,30 @@ class ALDriver:
                 n_runs = 2 if outer == 0 else 1
                 for r in range(n_runs):
                     runs.append((outer, r))
+
+            start_run, start_epoch = 0, 0
+            if mid is not None and cycle == mid["cycle"]:
+                from ..engine.checkpoint import load_train_state
+
+                state, _ = load_train_state(mid["dir"], state)
+                state = self._replicate(state)
+                start_run, start_epoch = mid["run"], mid["epoch"] + 1
+                if start_epoch >= self.tcfg.epoch_ratio[0]:
+                    start_run, start_epoch = start_run + 1, 0
+                self.log(f"  resumed mid-cycle at run {start_run + 1}, "
+                         f"epoch {start_epoch + 1}")
+                mid = None
+
             for ri, (outer, r) in enumerate(runs):
+                if ri < start_run:
+                    continue
                 is_final = ri == len(runs) - 1
                 self.log(f"  train run {ri + 1}/{len(runs)} (outer {outer})")
-                state = self._train_run(state, x_l, self.tcfg.seed + cycle * 100 + ri, is_final)
+                state = self._train_run(
+                    state, x_l, self.tcfg.seed + cycle * 100 + ri, is_final,
+                    cycle=cycle, run_idx=ri,
+                    start_epoch=start_epoch if ri == start_run else 0,
+                )
 
             if self.validate:
                 mAP = self.evaluate(self._variables(state))

@@ -174,6 +174,15 @@ class TrainLoader:
         shapes = np.stack([s["img_shape"] for s in samples])
         return Batch(images, boxes, labels, valid, av, shapes)
 
+    def burn_epochs(self, n: int) -> None:
+        """Consume exactly n epochs of RNG draws without decoding any
+        image: replays the shuffle + per-sample seed stream so a
+        mid-cycle resume sees the identical remaining batch sequence."""
+        for _ in range(n):
+            for _, bi in self._epoch_batches():
+                for _ in bi:
+                    self.rng.randint(0, 2 ** 31 - 1)
+
     def __iter__(self) -> Iterator[Tuple[str, Batch]]:
         plan = self._epoch_batches()
 

@@ -278,6 +278,10 @@ class TrainConfig:
     # linear warmup (SSD config: 500 iters, ratio 1e-3; Config_SSD.py:158-162)
     warmup_iters: int = 0
     warmup_ratio: float = 1e-3
+    # full train-state snapshot every N inner epochs (0 = off) for
+    # mid-cycle preemption resume (reference checkpoint_config interval=3
+    # + cfg.resume_from, apis/train_Lambda.py:72-75)
+    ckpt_interval: int = 1
 
 
 @dataclass(frozen=True)

@@ -58,6 +58,72 @@ def test_al_two_cycles(mini_voc, tmp_path):
     assert metrics[1]["n_labeled"] == len(x_l1)
 
 
+def test_mid_cycle_resume_bit_identical(mini_voc, tmp_path):
+    """Kill a run mid-cycle after an epoch snapshot, resume with
+    resume_from, and the final params are BIT-identical to the
+    uninterrupted run (the reference's cfg.resume_from -> runner.resume,
+    apis/train_Lambda.py:72-75 — which the npy cycle-resume cannot do)."""
+    import aod_meh_hua_tpu.engine.checkpoint as ckpt_mod
+    from aod_meh_hua_tpu.engine.checkpoint import load_checkpoint, cycle_ckpt_path
+
+    cfg = tiny_test_config()
+    tcfg = TrainConfig(batch_size=2, outer_epoch=1, epoch_ratio=(2,), lr=0.01,
+                       ckpt_interval=1)
+    al = ALConfig(cycles=(0,), x_l_0_size=4, x_s_size=2, x_l_repeat=1,
+                  score_batch_size=4)
+    pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+
+    def final_params(work_dir):
+        d1 = ALDriver(cfg, tcfg, al, ALPaths(voc07=mini_voc, voc12=None,
+                                             work_dir=work_dir),
+                      pipeline=pipe, validate=False, log=None)
+        path = cycle_ckpt_path(d1.paths.save_dir, d1.name, 0, 2)
+        init = d1._init_model(tcfg.seed)[1]
+        return load_checkpoint(path, {"params": init["params"],
+                                      "batch_stats": init.get("batch_stats", {})})
+
+    # uninterrupted run
+    wa = str(tmp_path / "uninterrupted")
+    ALDriver(cfg, tcfg, al, ALPaths(voc07=mini_voc, voc12=None, work_dir=wa),
+             pipeline=pipe, validate=False, log=None).run()
+
+    # interrupted run: die right after the 3rd epoch snapshot
+    # (runs = 2 x 2 epochs; 3rd save = run 2, epoch 1)
+    wb = str(tmp_path / "interrupted")
+    real_save = ckpt_mod.save_train_state
+    calls = {"n": 0}
+
+    def killer(save_dir, state, progress):
+        out = real_save(save_dir, state, progress)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated preemption")
+        return out
+
+    db = ALDriver(cfg, tcfg, al, ALPaths(voc07=mini_voc, voc12=None, work_dir=wb),
+                  pipeline=pipe, validate=False, log=None)
+    import aod_meh_hua_tpu.al.loop as loop_mod
+    orig = ckpt_mod.save_train_state
+    ckpt_mod.save_train_state = killer
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            db.run()
+    finally:
+        ckpt_mod.save_train_state = orig
+
+    # resume from the snapshot
+    db2 = ALDriver(cfg, tcfg, al, ALPaths(voc07=mini_voc, voc12=None, work_dir=wb),
+                   pipeline=pipe, validate=False, log=None)
+    db2.run(resume_from=db2.paths.save_dir)
+
+    pa, pb = final_params(wa), final_params(wb)
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        pa, pb)
+
+
 def test_al_resume_cycle(mini_voc, tmp_path):
     cfg = tiny_test_config()
     tcfg = TrainConfig(batch_size=2, outer_epoch=1, epoch_ratio=(1,), lr=0.01)

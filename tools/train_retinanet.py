@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--resume-cycle", type=int, default=-1)
     p.add_argument("--load-cycle", type=int, default=-1)
+    p.add_argument("--resume-from", default=None,
+                   help="mid-cycle resume from a train_state snapshot dir "
+                        "(the reference's cfg.resume_from); pass 'auto' to "
+                        "use <work-dir>/model_save")
+    p.add_argument("--ckpt-interval", type=int, default=None,
+                   help="train-state snapshot every N inner epochs (0=off)")
     p.add_argument("--zero-rate", type=float, default=0.15)
     p.add_argument("--score-thr", type=float, default=0.3, help="HUA object score threshold")
     p.add_argument("--iou-thr", type=float, default=0.5, help="HUA membership IoU threshold")
@@ -112,6 +118,7 @@ def main():
     train_cfg = dataclasses.replace(
         train_cfg, seed=args.seed,
         **({"batch_size": args.batch_size} if args.batch_size else {}),
+        **({"ckpt_interval": args.ckpt_interval} if args.ckpt_interval is not None else {}),
     )
     al_cfg = dataclasses.replace(
         al_cfg, zero_rate=args.zero_rate,
@@ -129,7 +136,11 @@ def main():
         driver.pretrained_loader = lambda variables: attach_pretrained_backbone(
             variables, args.pretrained, model_cfg.block_counts
         )
-    driver.run(resume_cycle=args.resume_cycle, load_cycle=args.load_cycle)
+    resume_from = args.resume_from
+    if resume_from == "auto":
+        resume_from = paths.save_dir
+    driver.run(resume_cycle=args.resume_cycle, load_cycle=args.load_cycle,
+               resume_from=resume_from)
 
 
 if __name__ == "__main__":

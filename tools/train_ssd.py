@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--resume-cycle", type=int, default=-1)
     p.add_argument("--load-cycle", type=int, default=-1)
+    p.add_argument("--resume-from", default=None,
+                   help="mid-cycle resume from a train_state snapshot dir; "
+                        "'auto' = <work-dir>/model_save")
     p.add_argument("--zero-rate", type=float, default=0.15)
     p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--iou-thr", type=float, default=0.5)
@@ -138,7 +141,11 @@ def main():
             return new_vars
 
         driver.pretrained_loader = loader
-    driver.run(resume_cycle=args.resume_cycle, load_cycle=args.load_cycle)
+    resume_from = args.resume_from
+    if resume_from == "auto":
+        resume_from = paths.save_dir
+    driver.run(resume_cycle=args.resume_cycle, load_cycle=args.load_cycle,
+               resume_from=resume_from)
 
 
 if __name__ == "__main__":
