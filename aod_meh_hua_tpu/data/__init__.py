@@ -10,5 +10,7 @@ masks are precomputed on the host.
 from .voc import VOCDataset, VOC_CLASSES, ConcatVOC
 from .pipeline import PipelineConfig, prepare_sample
 from .loader import TrainLoader, EvalLoader
-from .splits import (init_split, init_split_disjoint, update_labeled_set,
-                     update_labeled_set_reselect, save_cycle_state, load_cycle_state)
+from .splits import (init_split, init_split_all, init_split_disjoint,
+                     init_split_double, update_labeled_set,
+                     update_labeled_set_plain, update_labeled_set_reselect,
+                     save_cycle_state, load_cycle_state)

@@ -108,6 +108,42 @@ def update_labeled_set_reselect(
     return x_l_next, np.sort(x_u_next)
 
 
+def init_split_all(
+    num_images: int, rng: np.random.RandomState
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """get_X_L_ALL (active_datasets.py:7-13): the fully-supervised
+    control — X_L is the entire (shuffled-then-sorted) pool; X_U is the
+    single trailing element of the shuffle."""
+    x_all = np.arange(num_images)
+    rng.shuffle(x_all)
+    x_l = np.sort(x_all.copy())
+    x_u = x_all[len(x_all) - 1:]
+    return x_l, x_u, x_all
+
+
+def init_split_double(
+    num_images: int, x_l_0_size: int, rng: np.random.RandomState
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """get_X_L_0_Double (active_datasets.py:15-24): seed labeled set of
+    2x X_L_0_size; X_U = the full complement."""
+    x_all = np.arange(num_images)
+    rng.shuffle(x_all)
+    x_l = np.sort(x_all[: 2 * x_l_0_size].copy())
+    x_u = np.sort(x_all[2 * x_l_0_size:].copy())
+    return x_l, x_u, x_all
+
+
+def update_labeled_set_plain(
+    uncertainty: np.ndarray, x_all: np.ndarray, x_l: np.ndarray, x_s_size: int,
+    rng: np.random.RandomState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """update_X_L_filter (active_datasets.py:151-163): plain top-K
+    acquisition with no zeroRate injection (its `ratio` argument is
+    unused in the reference too) — equivalent to update_X_L's else
+    branch."""
+    return update_labeled_set(uncertainty, x_all, x_l, x_s_size, rng, zero_rate=0.0)
+
+
 def save_cycle_state(work_dir: str, cycle: int, x_l, x_u, uncertainty=None):
     """Persist the reference's per-cycle filenames (X_L_<c>.npy etc.)."""
     os.makedirs(work_dir, exist_ok=True)

@@ -77,6 +77,34 @@ def test_split_variants():
     np.testing.assert_array_equal(x_l2, np.arange(35, 50))  # top-15 by uncertainty
 
 
+def test_split_variants_all_double_plain():
+    """get_X_L_ALL / get_X_L_0_Double / update_X_L_filter parity
+    (active_datasets.py:7-13, 15-24, 151-163)."""
+    from aod_meh_hua_tpu.data import (
+        init_split_all, init_split_double, update_labeled_set_plain,
+    )
+
+    rng = np.random.RandomState(1)
+    x_l, x_u, x_all = init_split_all(30, rng)
+    np.testing.assert_array_equal(x_l, np.arange(30))  # all, sorted
+    assert len(x_u) == 1 and x_u[0] == x_all[-1]
+
+    rng = np.random.RandomState(2)
+    x_l, x_u, x_all = init_split_double(50, 10, rng)
+    assert len(x_l) == 20 and len(x_u) == 30
+    assert np.intersect1d(x_l, x_u).size == 0
+    np.testing.assert_array_equal(np.union1d(x_l, x_u), np.arange(50))
+
+    rng = np.random.RandomState(3)
+    x_l = np.arange(10)
+    unc = np.linspace(0, 1, 50)
+    x_l2, x_u2 = update_labeled_set_plain(unc, np.arange(50), x_l, 5, rng)
+    np.testing.assert_array_equal(x_l2, np.concatenate([np.arange(10),
+                                                        np.arange(45, 50)]))
+    assert len(x_u2) == len(x_l2)
+    assert np.intersect1d(x_l2, x_u2).size == 0
+
+
 def test_profile_time_and_cost(capsys):
     from aod_meh_hua_tpu.utils.profiling import profile_time, compiled_cost
 
