@@ -71,3 +71,18 @@ def test_eval_metric_cli(voc_with_results):
     base, pkl, n = voc_with_results
     out = _run(["tools/analysis/eval_metric.py", pkl, "--voc", base])
     assert "mAP@0.5" in out
+
+
+def test_show_selected_cli(voc_with_results, tmp_path):
+    """ShowSelectedImg port: renders the cycle's newly acquired images."""
+    base, pkl, n = voc_with_results
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    np.save(os.path.join(work, "X_L_0.npy"), np.array([0, 1]))
+    np.save(os.path.join(work, "X_L_1.npy"), np.array([0, 1, 3, 5]))
+    np.save(os.path.join(work, "Unc_1.npy"), np.linspace(0, 1, n))
+    out = _run(["tools/analysis/show_selected.py", "--work-dir", work,
+                "--cycle", "1", "--voc07", base])
+    assert "wrote 2 selected-image renders" in out
+    files = os.listdir(os.path.join(work, "visualization", "cycle1"))
+    assert len(files) == 2 and all(f.startswith("rank") for f in files)

@@ -1,0 +1,109 @@
+"""Stage-level timing of the scoring path: backbone / +FPN / +head /
+full score step, plus an XLA-FLOPs roofline estimate.
+
+The reference's benchmark.py measures end-to-end FPS only
+(/root/reference/tools/analysis_tools/benchmark.py:51-123); this tool
+breaks the jitted scoring program into cumulative stages so the hot
+module is identifiable without parsing a Perfetto trace.
+
+  python tools/analysis/profile_score.py [--batch 64] [--dtype bfloat16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def timed(fn, args, iters, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--mini", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip peak (v5e bf16 = 197, fp32 ~ 49)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
+
+    from aod_meh_hua_tpu.engine import EvalBatch, make_score_step
+    from aod_meh_hua_tpu.models import init_retinanet
+    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, tiny_test_config
+
+    cfg = tiny_test_config(compute_dtype=args.dtype) if args.mini \
+        else RetinaNetConfig(compute_dtype=args.dtype)
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+    h, w = cfg.canvas
+    b = args.batch
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * 0.2)
+    shp = (h, w) if args.mini else (600, 1000)
+    batch = EvalBatch(images, jnp.asarray(np.tile([list(shp)], (b, 1)).astype(np.int32)),
+                      jnp.asarray(np.full((b, 4), 1.0, np.float32)),
+                      jnp.ones(b, dtype=bool))
+
+    backbone = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.backbone(xx)))
+    feats = jax.jit(lambda v, x: model.apply(v, x, method=MEH_features))
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    score = make_score_step(model, cfg)
+
+    stages = {}
+    stages["backbone"] = timed(backbone, (variables, images), args.iters)
+    stages["backbone+fpn"] = timed(feats, (variables, images), args.iters)
+    stages["forward(all heads)"] = timed(fwd, (variables, images), args.iters)
+    stages["score step(full)"] = timed(score, (variables, batch), args.iters)
+
+    # FLOPs roofline from XLA cost analysis of the full forward
+    lowered = jax.jit(lambda v, x: model.apply(v, x)).lower(variables, images)
+    cost = lowered.compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    out = {"batch": b, "dtype": args.dtype, "canvas": [h, w]}
+    prev = 0.0
+    for k, v in stages.items():
+        out[k] = {"ms": round(v * 1e3, 2), "img_s": round(b / v, 1),
+                  "delta_ms": round((v - prev) * 1e3, 2)}
+        prev = v
+    if flops:
+        t_fwd = stages["forward(all heads)"]
+        achieved = flops / t_fwd / 1e12
+        out["forward_flops_G"] = round(flops / 1e9, 1)
+        out["achieved_tflops"] = round(achieved, 2)
+        out["pct_of_peak"] = round(100 * achieved / args.peak_tflops, 1)
+    print(json.dumps(out, indent=2))
+
+
+def MEH_features(m, x):
+    return m.features(x)
+
+
+if __name__ == "__main__":
+    main()
