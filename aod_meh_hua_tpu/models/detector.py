@@ -47,7 +47,8 @@ class MEHRetinaNet(nn.Module):
         backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
         self.backbone = backbone_cls(
             block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
-            mc_dropout=self.cfg.mc_dropout, dtype=dtype, name="backbone",
+            mc_dropout=self.cfg.mc_dropout, stem_s2d=self.cfg.stem_s2d,
+            dtype=dtype, name="backbone",
         )
         self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=1,
                         num_outs=len(self.cfg.anchor.strides), dtype=dtype, name="neck")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,21 +69,73 @@ class Bottleneck(nn.Module):
         return drop(nn.relu(y + identity))
 
 
+def _space_to_depth_stem(x, kernel, dtype):
+    """7x7 stride-2 pad-3 stem conv as a 4x4 stride-1 conv on
+    space-to-depth(2) input — mathematically identical, but the MXU sees
+    12 input channels at quarter the spatial positions instead of 3 at
+    full resolution (the classic TPU ResNet stem layout, cf. MLPerf
+    ResNet submissions). kernel: the ordinary [7,7,3,C] HWIO parameter —
+    the checkpoint/converter layout is unchanged; the reshuffle below is
+    a few-KB gather XLA fuses into the conv.
+
+    Derivation: y[i] = sum_k w[k] x[2i+k-3]; split k = 2t + r - 1 with
+    tap t in 0..3 and parity r in {0,1}; x[2(i+t-2)+r] lives in the
+    space-to-depth channel (r, c) of cell i+t-2, so the equivalent conv
+    has taps t in 0..3 with left pad 2 / right pad 1.
+    """
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even input dims"
+    cout = kernel.shape[-1]
+    # [7,7,3,C] -> zero-pad front -> [8,8,3,C] -> [4,(ry),4,(rx),3,C]
+    k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k4 = k8.reshape(4, 2, 4, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    k4 = k4.reshape(4, 4, 4 * c, cout).astype(dtype)
+    # x -> [B,H/2,W/2,(dy,dx,c)]
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    x2 = x2.reshape(b, h // 2, w // 2, 4 * c)
+    return jax.lax.conv_general_dilated(
+        x2, k4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+
+
+class _StemConvS2D(nn.Module):
+    """Drop-in replacement for the 7x7/2 stem nn.Conv with the SAME
+    parameter tree (conv1/kernel, [7,7,3,C] HWIO) — checkpoints and the
+    torchvision converter are layout-agnostic to the flag."""
+
+    features: int
+    compute_dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features), jnp.float32,
+        )
+        return _space_to_depth_stem(x, kernel, self.compute_dtype)
+
+
 class ResNet(nn.Module):
     """Bottleneck ResNet returning (C2, C3, C4, C5). NHWC."""
 
     block_counts: Sequence[int] = (3, 4, 6, 3)
     stem_width: int = 64
     mc_dropout: float = 0.0
+    stem_s2d: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.stem_width, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        if self.stem_s2d:
+            x = _StemConvS2D(self.stem_width, self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(
+                self.stem_width, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = channel_dropout(nn.relu(x), self.mc_dropout, deterministic=False)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

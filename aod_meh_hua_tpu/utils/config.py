@@ -97,6 +97,9 @@ class RetinaNetConfig:
     # rematerialize backbone blocks in the backward pass (jax.checkpoint):
     # trades ~25% extra FLOPs for activation memory -> larger train batches
     remat: bool = False
+    # stem as space-to-depth 4x4 conv (mathematically identical to the
+    # 7x7/2 conv, same param layout; better MXU utilization on TPU)
+    stem_s2d: bool = False
     test: TestCfg = field(default_factory=TestCfg)
     hua: HUACfg = field(default_factory=HUACfg)
 

@@ -105,6 +105,33 @@ def test_split_variants_all_double_plain():
     assert np.intersect1d(x_l2, x_u2).size == 0
 
 
+def test_stem_s2d_equivalence(rng):
+    """The space-to-depth stem (TPU layout) is numerically the 7x7/2
+    conv with the identical parameter tree — checkpoints swap freely."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from aod_meh_hua_tpu.models import build_retinanet, init_retinanet
+    from aod_meh_hua_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(3))
+    model_s2d = build_retinanet(replace(cfg, stem_s2d=True))
+    h, w = cfg.canvas
+    x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32) * 0.3)
+    a = model.apply(variables, x)
+    b = model_s2d.apply(variables, x)  # same variables, different layout
+    for u, v in zip(a[:2], b[:2]):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-4, atol=1e-4)
+    # init with the flag produces the same param tree
+    _, v2 = init_retinanet(replace(cfg, stem_s2d=True), jax.random.PRNGKey(3))
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(variables)
+    assert v2["params"]["backbone"]["conv1"]["kernel"].shape == \
+        variables["params"]["backbone"]["conv1"]["kernel"].shape
+
+
 def test_profile_time_and_cost(capsys):
     from aod_meh_hua_tpu.utils.profiling import profile_time, compiled_cost
 
