@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine.batch import EvalBatch
+from ..engine.batch import EvalBatch, prepare_images
 
 
 def _sig_entropy(logits: jnp.ndarray) -> jnp.ndarray:
@@ -52,8 +52,9 @@ def make_ensemble_score_step(model, cfg):
     def step(variables_list: Sequence, batch: EvalBatch):
         sum_sig = None
         sum_h = None
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
         for variables in variables_list:
-            cls, _, _ = model.apply(variables, batch.images, with_meh=False)
+            cls, _, _ = model.apply(variables, images, with_meh=False)
             sig = jax.nn.sigmoid(cls)
             h = _sig_entropy(cls)
             sum_sig = sig if sum_sig is None else sum_sig + sig
@@ -76,7 +77,9 @@ def make_mc_dropout_score_step(model, cfg, num_passes: int = 25):
 
         def one_pass(carry, k):
             sum_sig, sum_h = carry
-            cls, _, _ = model.apply(variables, batch.images, with_meh=False,
+            cls, _, _ = model.apply(variables,
+                                    prepare_images(batch.images, batch.img_shapes, cfg),
+                                    with_meh=False,
                                     rngs={"dropout": k})
             return (sum_sig + jax.nn.sigmoid(cls), sum_h + _sig_entropy(cls)), None
 

@@ -90,16 +90,20 @@ class ALDriver:
         self.augment_fn = None
         if pipeline is None:
             if getattr(model_cfg, "family", "retinanet") == "ssd":
-                # SSD: exact warp, caffe-style std=1 (Config_SSD.py:87,106)
+                # SSD: exact warp, caffe-style std=1 (Config_SSD.py:87,106);
+                # uint8 transport applies to eval/score only (the augment
+                # chain produces float images -> host-normalized path)
                 pipeline = PipelineConfig(
                     img_scale=model_cfg.canvas, canvas=model_cfg.canvas,
                     std=(1.0, 1.0, 1.0), keep_ratio=False,
+                    device_normalize=True,
                 )
                 from ..data.ssd_augment import ssd_train_augment
 
                 self.augment_fn = ssd_train_augment
             else:
-                pipeline = PipelineConfig(canvas=model_cfg.canvas)
+                pipeline = PipelineConfig(canvas=model_cfg.canvas,
+                                          device_normalize=True)
         self.pipeline = pipeline
         self.validate = validate
         self.name = name

@@ -35,8 +35,9 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
 def _default_pipeline(cfg) -> PipelineConfig:
     if getattr(cfg, "family", "retinanet") == "ssd":
         return PipelineConfig(img_scale=cfg.canvas, canvas=cfg.canvas,
-                              std=(1.0, 1.0, 1.0), keep_ratio=False)
-    return PipelineConfig(canvas=cfg.canvas)
+                              std=(1.0, 1.0, 1.0), keep_ratio=False,
+                              device_normalize=True)
+    return PipelineConfig(canvas=cfg.canvas, device_normalize=True)
 
 
 class Detector:

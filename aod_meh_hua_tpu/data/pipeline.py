@@ -43,6 +43,11 @@ class PipelineConfig:
     # keep_ratio=False (SSD): warp every image exactly to canvas — one
     # shape, no padding, no orientation bucketing (Config_SSD.py:106)
     keep_ratio: bool = True
+    # ship uint8 canvases and normalize ON DEVICE (engine.batch.
+    # prepare_images): 4x less host->device traffic and ~3x less host CPU
+    # per image. Only applies to uint8 inputs — augmented float images
+    # (the SSD PhotoMetric chain) keep the exact host float path.
+    device_normalize: bool = False
 
     def canvas_for(self, orientation: str) -> Tuple[int, int]:
         h, w = self.canvas
@@ -96,14 +101,19 @@ def prepare_sample(
     if flip:
         resized = resized[:, ::-1]
 
-    img_f = resized.astype(np.float32)
-    if cfg.to_rgb:
-        img_f = img_f[..., ::-1]
-    img_f = (img_f - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
-
     ch, cw = cfg.canvas_for(orientation)
-    canvas = np.zeros((ch, cw, 3), np.float32)
-    canvas[:new_h, :new_w] = img_f
+    if cfg.device_normalize and resized.dtype == np.uint8:
+        # raw BGR uint8 canvas; to_rgb/normalize/pad-zeroing happen on
+        # device (must use matching cfg.img_mean/img_std/img_to_rgb)
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:new_h, :new_w] = resized
+    else:
+        img_f = resized.astype(np.float32)
+        if cfg.to_rgb:
+            img_f = img_f[..., ::-1]
+        img_f = (img_f - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:new_h, :new_w] = img_f
 
     d = cfg.size_divisor
     pad_shape = (int(np.ceil(new_h / d)) * d, int(np.ceil(new_w / d)) * d)

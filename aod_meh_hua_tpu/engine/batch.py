@@ -13,10 +13,35 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 
+def prepare_images(images: jnp.ndarray, img_shapes: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Device-side image normalization for uint8 transport.
+
+    float32 batches pass through untouched (host already normalized).
+    uint8 batches (PipelineConfig.device_normalize) are BGR->RGB flipped,
+    normalized with cfg.img_mean/img_std, and zeroed beyond each image's
+    resized (h, w) — bit-reproducing the host Normalize -> Pad(0)
+    semantics (reference Config_RetinaNet.py:99-110) while moving 4x
+    fewer bytes over the host->device link.
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    x = images.astype(jnp.float32)
+    if getattr(cfg, "img_to_rgb", True):
+        x = x[..., ::-1]
+    mean = jnp.asarray(cfg.img_mean, jnp.float32)
+    std = jnp.asarray(cfg.img_std, jnp.float32)
+    x = (x - mean) / std
+    h, w = images.shape[1], images.shape[2]
+    row_ok = jnp.arange(h)[None, :, None, None] < img_shapes[:, 0][:, None, None, None]
+    col_ok = jnp.arange(w)[None, None, :, None] < img_shapes[:, 1][:, None, None, None]
+    return x * (row_ok & col_ok)
+
+
 class Batch(NamedTuple):
     """Training batch."""
 
-    images: jnp.ndarray        # [B, H, W, 3] float32, normalized, canvas-padded
+    images: jnp.ndarray        # [B, H, W, 3] float32 normalized, or uint8
+                               # (device_normalize transport; see prepare_images)
     gt_boxes: jnp.ndarray      # [B, G, 4] float32 in resized-image coords
     gt_labels: jnp.ndarray     # [B, G] int32
     gt_valid: jnp.ndarray      # [B, G] bool

@@ -21,17 +21,18 @@ import numpy as np
 
 from ..ops.nms import batched_multiclass_nms
 from ..utils.config import RetinaNetConfig
-from .batch import EvalBatch
+from .batch import EvalBatch, prepare_images
 from .postprocess import make_candidate_selector
 
 
 def make_eval_step(model, cfg: RetinaNetConfig):
-    select = make_candidate_selector(cfg)
+    select, anchors_host = make_candidate_selector(cfg)
     t = cfg.test
 
-    def eval_step(variables, batch: EvalBatch):
-        cls_scores, bbox_preds, _ = model.apply(variables, batch.images, with_meh=False)
-        cand = select(cls_scores, bbox_preds, None, batch.img_shapes)
+    def eval_step(variables, batch: EvalBatch, anchors):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        cls_scores, bbox_preds, _ = model.apply(variables, images, with_meh=False)
+        cand = select(anchors, cls_scores, bbox_preds, None, batch.img_shapes)
         # rescale to original image coordinates before NMS (reference
         # divides batch_mlvl_bboxes by scale_factors, Lambda_L2.py:307-308)
         boxes = cand.boxes / batch.scale_factors[:, None, :]
@@ -42,7 +43,14 @@ def make_eval_step(model, cfg: RetinaNetConfig):
         )
         return dets
 
-    return jax.jit(eval_step)
+    jfn = jax.jit(eval_step)
+
+    # anchors ride as an (uncommitted) argument, not a baked constant —
+    # see make_candidate_selector's docstring for the TPU-relay rationale
+    def step(variables, batch: EvalBatch):
+        return jfn(variables, batch, anchors_host)
+
+    return step
 
 
 def detections_to_per_class(dets, num_classes: int, batch_valid=None) -> List[List[np.ndarray]]:

@@ -39,8 +39,14 @@ def transform_scores(cls_scores: jnp.ndarray, family: str = "retinanet") -> jnp.
 
 
 def make_candidate_selector(cfg):
+    """Returns (select, anchors_host): `select` takes the anchor table as
+    a RUNTIME argument. Do NOT close over the table inside a jit: on this
+    environment's TPU relay, executing a program with a large gathered
+    closure-constant permanently degrades every later host->device
+    transfer in the process to ~40 MB/s (measured; args stay >1 GB/s).
+    Passing it as an argument also keeps mesh runs shardable."""
     gen = cfg.build_anchor_generator()
-    level_anchors = [jnp.asarray(a) for a in gen.grid_anchors(cfg.featmap_sizes())]
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
     bounds = cfg.level_bounds()
     topk_bounds = tuple(cfg.topk_level_bounds())
     nms_pre = cfg.test.nms_pre
@@ -48,6 +54,7 @@ def make_candidate_selector(cfg):
     num_fg = cfg.num_fg_classes
 
     def select(
+        all_anchors: jnp.ndarray,
         cls_scores: jnp.ndarray,
         bbox_preds: jnp.ndarray,
         lambdas: Optional[jnp.ndarray],
@@ -58,7 +65,7 @@ def make_candidate_selector(cfg):
         for li, (s0, s1) in enumerate(bounds):
             scores = transform_scores(cls_scores[:, s0:s1], family)
             preds = bbox_preds[:, s0:s1]
-            anchors = level_anchors[li]
+            anchors = all_anchors[s0:s1]
             lam = lambdas[:, s0:s1] if lambdas is not None else None
             n = s1 - s0
             if use_topk and n > nms_pre:
@@ -85,4 +92,4 @@ def make_candidate_selector(cfg):
             jnp.concatenate(out_scores, axis=1), jnp.concatenate(out_boxes, axis=1), cand_lam, b
         )
 
-    return select
+    return select, anchors_host

@@ -27,7 +27,7 @@ from ..ops.dirichlet import dirichlet_mi_sampled, dirichlet_mutual_information
 from ..ops.hua import hua_object_scores, hua_scale_scores, object_membership, parse_agg_spec
 from ..ops.nms import batched_multiclass_nms
 from ..utils.config import RetinaNetConfig
-from .batch import EvalBatch
+from .batch import EvalBatch, prepare_images
 from .postprocess import make_candidate_selector
 
 
@@ -53,7 +53,7 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
     NoNMS applies no lambda rescale, matching the reference's pathway
     that passes no L_scores). 'Random' is host-side (al/uncertainty.py).
     """
-    select = make_candidate_selector(cfg)
+    select, anchors_host = make_candidate_selector(cfg)
     agg = parse_agg_spec(cfg.hua.agg)
     hua = cfg.hua
     t = cfg.test
@@ -66,9 +66,11 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         probs = jax.nn.softmax(cls_scores, axis=-1)
         return probs.reshape(probs.shape[0], -1).max(axis=-1)
 
-    def score_nms(variables, batch: EvalBatch, key: Optional[jax.Array] = None):
-        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
-        cand = select(cls_scores, bbox_preds, lambdas, batch.img_shapes)
+    def score_nms(variables, batch: EvalBatch, anchors,
+                  key: Optional[jax.Array] = None):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        cls_scores, bbox_preds, lambdas = model.apply(variables, images)
+        cand = select(anchors, cls_scores, bbox_preds, lambdas, batch.img_shapes)
         # the reference pool sweep runs rescale=True (apis/test.py:115);
         # membership IoUs are scale-invariant but we match exactly
         boxes = cand.boxes / batch.scale_factors[:, None, :]
@@ -91,7 +93,8 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         )(cand.scores, cand.lambdas, member)
         return unc, _maxconf(cls_scores)
 
-    def score_scale(variables, batch: EvalBatch, key: Optional[jax.Array] = None):
+    def score_scale(variables, batch: EvalBatch, anchors,
+                    key: Optional[jax.Array] = None):
         with_lambda = hua.pool == "Entropy_ALL"
         cls_scores, bbox_preds, lambdas = model.apply(
             variables, batch.images, with_meh=with_lambda
@@ -119,4 +122,13 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         fn = score_scale
     else:
         raise ValueError(f"score step does not handle pool {hua.pool!r}")
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+
+    # anchors ride as an (uncommitted) argument, not a baked constant —
+    # see make_candidate_selector's docstring for the TPU-relay rationale
+    def step(variables, batch: EvalBatch, key: Optional[jax.Array] = None):
+        if key is not None:
+            return jfn(variables, batch, anchors_host, key)
+        return jfn(variables, batch, anchors_host)
+
+    return step

@@ -37,7 +37,7 @@ from ..ops.assigner import max_iou_assign
 from ..ops.bbox import delta_decode, delta_encode
 from ..ops.losses import sigmoid_focal_loss_elementwise
 from ..ops.nms import multiclass_nms
-from .batch import Batch
+from .batch import Batch, prepare_images
 from .train import TrainState, _make_targets_fn, _meh_regression
 
 
@@ -45,7 +45,8 @@ def make_pseudo_loss_fn(model, cfg, prob_threshold: float = 0.5,
                         pseudo_nms_iou: float = 0.5, max_pseudo: int = 100):
     """Unlabeled-batch loss (Retina family)."""
     gen = cfg.build_anchor_generator()
-    level_anchors = [jnp.asarray(a) for a in gen.grid_anchors(cfg.featmap_sizes())]
+    # argument, not closure constant — see postprocess.make_candidate_selector
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
     bounds = cfg.level_bounds()
     targets_fn = _make_targets_fn(cfg)
     c = cfg.num_classes
@@ -95,12 +96,13 @@ def make_pseudo_loss_fn(model, cfg, prob_threshold: float = 0.5,
         loss_nor = elem.sum(axis=-1)
         return loss_cls, loss_bbox, loss_nor
 
-    def loss_fn(params, batch_stats, batch: Batch):
+    def loss_fn(params, batch_stats, batch: Batch, all_anchors):
         variables = {"params": params, "batch_stats": batch_stats}
-        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
+        cls_scores, bbox_preds, lambdas = model.apply(
+            variables, prepare_images(batch.images, batch.img_shapes, cfg))
         # real-GT targets only feed num_total_samples + the MEH weights
-        t = targets_fn(jnp.concatenate([a for a in level_anchors]),
-                       batch.anchor_valid, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
+        t = targets_fn(all_anchors, batch.anchor_valid, batch.gt_boxes,
+                       batch.gt_labels, batch.gt_valid)
         num_total = t.num_pos.sum().astype(jnp.float32)
 
         loss_cls = jnp.zeros(())
@@ -108,7 +110,7 @@ def make_pseudo_loss_fn(model, cfg, prob_threshold: float = 0.5,
         loss_meh = jnp.zeros(())
         for li, (s0, s1) in enumerate(bounds):
             lc, lb, lnor = jax.vmap(
-                lambda ci, ri, vi: level_image_loss(ci, ri, level_anchors[li], vi)
+                lambda ci, ri, vi: level_image_loss(ci, ri, all_anchors[s0:s1], vi)
             )(cls_scores[:, s0:s1], bbox_preds[:, s0:s1], batch.anchor_valid[:, s0:s1])
             lc = lc.sum() / num_total
             lb = lb.sum() / num_total
@@ -128,19 +130,24 @@ def make_pseudo_loss_fn(model, cfg, prob_threshold: float = 0.5,
                "loss_meh": loss_meh, "num_pos": num_total}
         return total, aux
 
-    return loss_fn
+    return loss_fn, anchors_host
 
 
 def make_pseudo_train_step(model, cfg, tx) -> Callable:
     """Jitted unlabeled-batch step (the second half of the reference's
     interleaved SSL iteration; pair with the regular labeled step)."""
-    loss_fn = make_pseudo_loss_fn(model, cfg)
+    loss_fn, anchors_host = make_pseudo_loss_fn(model, cfg)
 
-    def step(state: TrainState, batch: Batch):
+    def step(state: TrainState, batch: Batch, anchors):
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch)
+            state.params, state.batch_stats, batch, anchors)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
 
-    return jax.jit(step, donate_argnums=(0,))
+    jfn = jax.jit(step, donate_argnums=(0,))
+
+    def wrapped(state: TrainState, batch: Batch):
+        return jfn(state, batch, anchors_host)
+
+    return wrapped

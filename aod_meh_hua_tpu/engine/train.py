@@ -39,7 +39,7 @@ from ..ops.losses import (
     sigmoid_focal_loss_elementwise,
 )
 from ..utils.config import RetinaNetConfig, TrainConfig
-from .batch import Batch
+from .batch import Batch, prepare_images
 
 
 class TrainState(NamedTuple):
@@ -150,13 +150,16 @@ def make_loss_fn(model, cfg):
 
 def make_retina_loss_fn(model, cfg: RetinaNetConfig):
     gen = cfg.build_anchor_generator()
-    anchors = jnp.asarray(np.concatenate(gen.grid_anchors(cfg.featmap_sizes())))
+    # the anchor table must reach the jitted step as an ARGUMENT, not a
+    # closure constant (see postprocess.make_candidate_selector)
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
     bounds = cfg.level_bounds()
     targets_fn = _make_targets_fn(cfg)
 
-    def loss_fn(params, batch_stats, batch: Batch):
+    def loss_fn(params, batch_stats, batch: Batch, anchors):
         variables = {"params": params, "batch_stats": batch_stats}
-        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
+        cls_scores, bbox_preds, lambdas = model.apply(
+            variables, prepare_images(batch.images, batch.img_shapes, cfg))
         t = targets_fn(anchors, batch.anchor_valid, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
         num_total = t.num_pos.sum().astype(jnp.float32)
 
@@ -202,7 +205,7 @@ def make_retina_loss_fn(model, cfg: RetinaNetConfig):
         }
         return total, aux
 
-    return loss_fn
+    return loss_fn, anchors_host
 
 
 def make_ssd_loss_fn(model, cfg):
@@ -216,13 +219,14 @@ def make_ssd_loss_fn(model, cfg):
     from ..ops.losses import softmax_cross_entropy
 
     gen = cfg.build_anchor_generator()
-    anchors = jnp.asarray(np.concatenate(gen.grid_anchors(cfg.featmap_sizes())))
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
     targets_fn = _make_targets_fn(cfg)
     c = cfg.num_classes
 
-    def loss_fn(params, batch_stats, batch: Batch):
+    def loss_fn(params, batch_stats, batch: Batch, anchors):
         variables = {"params": params, "batch_stats": batch_stats}
-        cls_scores, bbox_preds, lambdas = model.apply(variables, batch.images)
+        cls_scores, bbox_preds, lambdas = model.apply(
+            variables, prepare_images(batch.images, batch.img_shapes, cfg))
         t = targets_fn(anchors, batch.anchor_valid, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
         num_total = t.num_pos.sum().astype(jnp.float32)
 
@@ -261,17 +265,24 @@ def make_ssd_loss_fn(model, cfg):
                "loss_meh": loss_meh, "num_pos": num_total}
         return total, aux
 
-    return loss_fn
+    return loss_fn, anchors_host
 
 
 def make_train_step(model, cfg, tx) -> Callable:
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn, anchors_host = make_loss_fn(model, cfg)
 
-    def train_step(state: TrainState, batch: Batch):
+    def train_step(state: TrainState, batch: Batch, anchors):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, aux), grads = grad_fn(state.params, state.batch_stats, batch)
+        (_, aux), grads = grad_fn(state.params, state.batch_stats, batch, anchors)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jfn = jax.jit(train_step, donate_argnums=(0,))
+
+    # anchors ride as an (uncommitted) argument, not a baked constant —
+    # see postprocess.make_candidate_selector for the TPU-relay rationale
+    def step(state: TrainState, batch: Batch):
+        return jfn(state, batch, anchors_host)
+
+    return step

@@ -89,6 +89,11 @@ class RetinaNetConfig:
     use_meh: bool = True                 # False = Lambda_L2Net_NoL ablation
     # data batching
     max_gt: int = 64
+    # image normalization (img_norm_cfg, Config_RetinaNet.py:99-100) —
+    # used on-device when batches arrive as uint8 (4x less infeed traffic)
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
     # dtype
     compute_dtype: str = "float32"       # float32 | bfloat16
     # MC-dropout baseline: channel dropout after every ReLU when > 0
@@ -208,6 +213,10 @@ class SSDConfig:
     meh_weighted: bool = False          # loss_single_L without mineW kwarg
     use_meh: bool = True
     max_gt: int = 64
+    # img_norm_cfg (Config_SSD.py:87): caffe-style std = 1
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    img_to_rgb: bool = True
     compute_dtype: str = "float32"
     test: TestCfg = field(default_factory=lambda: TestCfg(
         nms_pre=1000, score_thr=0.02, nms_iou_thr=0.5, max_per_img=200))

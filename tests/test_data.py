@@ -170,6 +170,51 @@ def test_prefetcher_propagates_data(voc, small_cfg_bits):
     assert len(list(loader)) == len(loader)
 
 
+def test_device_normalize_transport_equivalence():
+    """uint8 transport + on-device normalization reproduces the host
+    float path exactly (incl. the zero pad region), through prepare_sample
+    and a real eval step."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace as dc_replace
+
+    from aod_meh_hua_tpu.data.pipeline import PipelineConfig, prepare_sample
+    from aod_meh_hua_tpu.engine import EvalBatch, make_eval_step
+    from aod_meh_hua_tpu.engine.batch import prepare_images
+    from aod_meh_hua_tpu.models import init_retinanet
+    from aod_meh_hua_tpu.utils.config import tiny_test_config
+
+    rng = np.random.RandomState(0)
+    cfg = tiny_test_config()
+    img = rng.randint(0, 255, (150, 230, 3), np.uint8)
+    pipe_f = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+    pipe_u = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas,
+                            device_normalize=True)
+    sf = prepare_sample(img, None, pipe_f, flip=False)
+    su = prepare_sample(img, None, pipe_u, flip=False)
+    assert su["image"].dtype == np.uint8
+    assert sf["image"].dtype == np.float32
+
+    dev = prepare_images(jnp.asarray(su["image"][None]),
+                         jnp.asarray(su["img_shape"][None]), cfg)
+    np.testing.assert_allclose(np.asarray(dev[0]), sf["image"],
+                               rtol=1e-6, atol=1e-5)
+
+    # through the jitted eval step: identical detections
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(1))
+    step = make_eval_step(model, cfg)
+
+    def eb(s):
+        return EvalBatch(s["image"][None], s["img_shape"][None].astype(np.int32),
+                         s["scale_factor"][None], np.ones(1, bool))
+
+    df, du = step(variables, eb(sf)), step(variables, eb(su))
+    np.testing.assert_allclose(np.asarray(df.scores), np.asarray(du.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(df.boxes), np.asarray(du.boxes),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_init_split_semantics():
     rng = np.random.RandomState(20)
     x_l, x_u, x_all = init_split(100, 10, rng)

@@ -108,11 +108,11 @@ def test_meh_gradient_partition(model_state, rng):
     from aod_meh_hua_tpu.engine.train import make_loss_fn
 
     model, variables, state, _, _ = model_state
-    loss_fn = make_loss_fn(model, CFG)
+    loss_fn, anchors = make_loss_fn(model, CFG)
     batch = _make_batch(rng)
 
     def meh_only(params):
-        _, aux = loss_fn(params, state.batch_stats, batch)
+        _, aux = loss_fn(params, state.batch_stats, batch, anchors)
         return aux["loss_meh"]
 
     grads = jax.jit(jax.grad(meh_only))(state.params)

@@ -28,9 +28,9 @@ CFG = tiny_test_config()
 def test_ablation_configs_train(variant, rng):
     cfg = replace(CFG, **variant)
     model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn, anchors = make_loss_fn(model, cfg)
     total, aux = jax.jit(loss_fn)(variables["params"], variables["batch_stats"],
-                                  _make_batch(rng))
+                                  _make_batch(rng), anchors)
     assert np.isfinite(float(total))
     if variant.get("use_meh") is False:
         assert float(aux["loss_meh"]) == 0.0

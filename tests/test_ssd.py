@@ -82,9 +82,9 @@ def test_ssd_ohem_matches_transcription(ssd, rng):
     from aod_meh_hua_tpu.engine.train import make_ssd_loss_fn
 
     model, variables = ssd
-    loss_fn = make_ssd_loss_fn(model, CFG)
+    loss_fn, anchors_arg = make_ssd_loss_fn(model, CFG)
     batch = _ssd_batch(rng)
-    _, aux = jax.jit(loss_fn)(variables["params"], variables.get("batch_stats", {}), batch)
+    _, aux = jax.jit(loss_fn)(variables["params"], variables.get("batch_stats", {}), batch, anchors_arg)
 
     # manual: recompute with numpy from the same forward outputs
     cls, _, _ = model.apply(variables, batch.images)

@@ -24,9 +24,9 @@ def setup():
 
 def test_pseudo_loss_finite(setup, rng):
     model, variables, _ = setup
-    loss_fn = make_pseudo_loss_fn(model, CFG)
+    loss_fn, anchors = make_pseudo_loss_fn(model, CFG)
     batch = _make_batch(rng)
-    total, aux = jax.jit(loss_fn)(variables["params"], variables["batch_stats"], batch)
+    total, aux = jax.jit(loss_fn)(variables["params"], variables["batch_stats"], batch, anchors)
     assert np.isfinite(float(total))
     assert float(aux["loss_bbox"]) >= 0
     assert float(aux["loss_meh"]) >= 0
@@ -37,9 +37,9 @@ def test_pseudo_cls_magnitude_pinned_to_bbox(setup, rng):
     value per level; with untrained nets both are usually 0 (no
     confident anchors) — force confidence via a scaled logit model."""
     model, variables, _ = setup
-    loss_fn = make_pseudo_loss_fn(model, CFG, prob_threshold=0.0)
+    loss_fn, anchors = make_pseudo_loss_fn(model, CFG, prob_threshold=0.0)
     batch = _make_batch(rng)
-    _, aux = jax.jit(loss_fn)(variables["params"], variables["batch_stats"], batch)
+    _, aux = jax.jit(loss_fn)(variables["params"], variables["batch_stats"], batch, anchors)
     # with threshold 0 every anchor proposes; both terms active
     assert float(aux["loss_bbox"]) > 0
     assert float(aux["loss_cls"]) == pytest.approx(float(aux["loss_bbox"]), rel=1e-3)

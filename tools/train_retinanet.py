@@ -104,7 +104,8 @@ def main():
         train_cfg = dataclasses.replace(train_cfg, outer_epoch=1, epoch_ratio=(1,))
         al_cfg = dataclasses.replace(al_cfg, cycles=(0, 1), x_l_0_size=4,
                                      x_s_size=2, x_l_repeat=1, score_batch_size=8)
-        pipeline = PipelineConfig(img_scale=(250, 120), canvas=model_cfg.canvas)
+        pipeline = PipelineConfig(img_scale=(250, 120), canvas=model_cfg.canvas,
+                                  device_normalize=True)
 
     hua = model_cfg.hua
     if args.uncertainty:
