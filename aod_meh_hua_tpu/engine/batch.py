@@ -37,6 +37,40 @@ def prepare_images(images: jnp.ndarray, img_shapes: jnp.ndarray, cfg) -> jnp.nda
     return x * (row_ok & col_ok)
 
 
+class ConstArg:
+    """Device-resident cache for a large table passed as a jit ARGUMENT
+    (never a closure constant — see postprocess.make_candidate_selector).
+
+    Placement follows the batch it rides with: replicated over the mesh
+    for sharded batches, the batch's device for committed single-device
+    batches, default placement otherwise — so one transfer serves every
+    subsequent call instead of re-shipping the numpy array each step.
+    """
+
+    def __init__(self, host):
+        self.host = host
+        self._cache = {}
+
+    def get(self, like):
+        import jax
+
+        sh = getattr(like, "sharding", None)
+        key = None if sh is None else tuple(sorted(d.id for d in sh.device_set))
+        arr = self._cache.get(key)
+        if arr is None:
+            if sh is not None and len(sh.device_set) > 1 \
+                    and getattr(sh, "mesh", None) is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                arr = jax.device_put(self.host, NamedSharding(sh.mesh, PartitionSpec()))
+            elif sh is not None:
+                arr = jax.device_put(self.host, next(iter(sh.device_set)))
+            else:
+                arr = jax.device_put(self.host)
+            self._cache[key] = arr
+        return arr
+
+
 class Batch(NamedTuple):
     """Training batch."""
 

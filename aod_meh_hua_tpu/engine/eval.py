@@ -21,7 +21,7 @@ import numpy as np
 
 from ..ops.nms import batched_multiclass_nms
 from ..utils.config import RetinaNetConfig
-from .batch import EvalBatch, prepare_images
+from .batch import EvalBatch, prepare_images, ConstArg
 from .postprocess import make_candidate_selector
 
 
@@ -44,11 +44,12 @@ def make_eval_step(model, cfg: RetinaNetConfig):
         return dets
 
     jfn = jax.jit(eval_step)
+    anchors_arg = ConstArg(anchors_host)
 
-    # anchors ride as an (uncommitted) argument, not a baked constant —
-    # see make_candidate_selector's docstring for the TPU-relay rationale
+    # anchors ride as an argument, not a baked constant — see
+    # make_candidate_selector's docstring for the TPU-relay rationale
     def step(variables, batch: EvalBatch):
-        return jfn(variables, batch, anchors_host)
+        return jfn(variables, batch, anchors_arg.get(batch.images))
 
     return step
 

@@ -27,7 +27,7 @@ from ..ops.dirichlet import dirichlet_mi_sampled, dirichlet_mutual_information
 from ..ops.hua import hua_object_scores, hua_scale_scores, object_membership, parse_agg_spec
 from ..ops.nms import batched_multiclass_nms
 from ..utils.config import RetinaNetConfig
-from .batch import EvalBatch, prepare_images
+from .batch import EvalBatch, prepare_images, ConstArg
 from .postprocess import make_candidate_selector
 
 
@@ -123,12 +123,14 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
     else:
         raise ValueError(f"score step does not handle pool {hua.pool!r}")
     jfn = jax.jit(fn)
+    anchors_arg = ConstArg(anchors_host)
 
-    # anchors ride as an (uncommitted) argument, not a baked constant —
-    # see make_candidate_selector's docstring for the TPU-relay rationale
+    # anchors ride as an argument, not a baked constant — see
+    # make_candidate_selector's docstring for the TPU-relay rationale
     def step(variables, batch: EvalBatch, key: Optional[jax.Array] = None):
+        anchors = anchors_arg.get(batch.images)
         if key is not None:
-            return jfn(variables, batch, anchors_host, key)
-        return jfn(variables, batch, anchors_host)
+            return jfn(variables, batch, anchors, key)
+        return jfn(variables, batch, anchors)
 
     return step

@@ -37,7 +37,7 @@ from ..ops.assigner import max_iou_assign
 from ..ops.bbox import delta_decode, delta_encode
 from ..ops.losses import sigmoid_focal_loss_elementwise
 from ..ops.nms import multiclass_nms
-from .batch import Batch, prepare_images
+from .batch import Batch, prepare_images, ConstArg
 from .train import TrainState, _make_targets_fn, _meh_regression
 
 
@@ -146,8 +146,9 @@ def make_pseudo_train_step(model, cfg, tx) -> Callable:
         return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
 
     jfn = jax.jit(step, donate_argnums=(0,))
+    anchors_arg = ConstArg(anchors_host)
 
     def wrapped(state: TrainState, batch: Batch):
-        return jfn(state, batch, anchors_host)
+        return jfn(state, batch, anchors_arg.get(batch.images))
 
     return wrapped

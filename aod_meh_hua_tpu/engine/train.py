@@ -39,7 +39,7 @@ from ..ops.losses import (
     sigmoid_focal_loss_elementwise,
 )
 from ..utils.config import RetinaNetConfig, TrainConfig
-from .batch import Batch, prepare_images
+from .batch import Batch, prepare_images, ConstArg
 
 
 class TrainState(NamedTuple):
@@ -279,10 +279,11 @@ def make_train_step(model, cfg, tx) -> Callable:
         return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
 
     jfn = jax.jit(train_step, donate_argnums=(0,))
+    anchors_arg = ConstArg(anchors_host)
 
-    # anchors ride as an (uncommitted) argument, not a baked constant —
-    # see postprocess.make_candidate_selector for the TPU-relay rationale
+    # anchors ride as an argument, not a baked constant — see
+    # postprocess.make_candidate_selector for the TPU-relay rationale
     def step(state: TrainState, batch: Batch):
-        return jfn(state, batch, anchors_host)
+        return jfn(state, batch, anchors_arg.get(batch.images))
 
     return step

@@ -136,14 +136,24 @@ def main():
         jnp.ones(b, dtype=bool),
     )
 
-    for _ in range(args.warmup):
-        unc, mc = step(variables, batch)
-    jax.block_until_ready((unc, mc))
+    # The axon relay journals dispatches asynchronously: timing N
+    # independent same-input steps under block_until_ready can report
+    # nonsense. Chain each iteration on the previous output (a non-
+    # foldable zero derived from it feeds the next images) and fetch the
+    # final scalar, so the measured wall covers N REAL executions.
+    def chained_sweep(n):
+        bt = batch
+        base = batch.images
+        u = mc_ = None
+        for _ in range(n):
+            u, mc_ = step(variables, bt)
+            dep = jnp.where(jnp.isnan(u.sum()), 1.0, 0.0)  # runtime 0
+            bt = bt._replace(images=base + dep)
+        return float(np.asarray(u.sum()) + np.asarray(mc_.sum()))
 
+    chained_sweep(args.warmup)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        unc, mc = step(variables, batch)
-    jax.block_until_ready((unc, mc))
+    chained_sweep(args.iters)
     dt = time.perf_counter() - t0
 
     img_s = b * args.iters / dt
