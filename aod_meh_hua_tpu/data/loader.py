@@ -205,12 +205,16 @@ class EvalLoader:
         batch_size: int,
         prefetch: bool = True,
         num_workers: int = 8,
+        transform_fn=None,
     ):
+        """transform_fn(img_bgr_uint8, idx) -> img: post-decode hook
+        (e.g. the robustness corruptions, tools/analysis/test_robustness)."""
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.transform_fn = transform_fn
         self._pool = _shared_pool(num_workers) if num_workers > 0 else None
 
     def __len__(self):
@@ -223,6 +227,8 @@ class EvalLoader:
     def _make_batch(self, batch_idx: np.ndarray) -> EvalBatch:
         def prep(i):
             img = load_image(self.dataset.img_path(int(i)))
+            if self.transform_fn is not None:
+                img = self.transform_fn(img, int(i))
             return prepare_sample(img, None, self.pipeline, flip=False)
 
         if self._pool is not None:

@@ -73,6 +73,73 @@ def test_eval_metric_cli(voc_with_results):
     assert "mAP@0.5" in out
 
 
+def test_corruptions_library():
+    """Every benchmark + holdout corruption: valid uint8 output, shape
+    preserved, deterministic under a fixed rng, and actually changes
+    the image."""
+    from aod_meh_hua_tpu.data.corruptions import (
+        BENCHMARK_CORRUPTIONS, HOLDOUT_CORRUPTIONS, corrupt,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    for name in BENCHMARK_CORRUPTIONS + HOLDOUT_CORRUPTIONS:
+        for severity in (1, 3, 5):
+            a = corrupt(img, name, severity, np.random.RandomState(7))
+            b = corrupt(img, name, severity, np.random.RandomState(7))
+            assert a.shape == img.shape and a.dtype == np.uint8, name
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} nondeterministic")
+            assert not np.array_equal(a, img), f"{name}@{severity} is identity"
+    np.testing.assert_array_equal(corrupt(img, "fog", 0, rng), img)  # severity 0
+
+
+def test_robustness_eval_math(tmp_path):
+    """P/mPC/rPC computation on a fabricated results file (the
+    reference's get_voc_style_results semantics)."""
+    import json
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "robustness_eval", os.path.join(REPO, "tools/analysis/robustness_eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # 2 corruptions x severities 0..5 x 2 classes
+    mk = lambda ap: [{"ap": ap}, {"ap": ap}]
+    data = {
+        "gaussian_noise": {"0": mk(0.8), "1": mk(0.6), "2": mk(0.5),
+                           "3": mk(0.4), "4": mk(0.3), "5": mk(0.2)},
+        "fog": {"0": mk(0.8), "1": mk(0.7), "2": mk(0.6),
+                "3": mk(0.5), "4": mk(0.4), "5": mk(0.3)},
+    }
+    f = str(tmp_path / "r.json")
+    with open(f, "w") as fh:
+        json.dump(data, fh)
+    out = mod.get_voc_style_results(f, aggregate="benchmark")
+    assert out["P"] == pytest.approx(0.8)
+    assert out["mPC"] == pytest.approx((0.6 + 0.5 + 0.4 + 0.3 + 0.2 +
+                                        0.7 + 0.6 + 0.5 + 0.4 + 0.3) / 10)
+    assert out["rPC"] == pytest.approx(out["mPC"] / 0.8)
+
+
+def test_test_robustness_cli(voc_with_results, tmp_path):
+    """End-to-end robustness drive: mini model, 2 corruptions, clean +
+    severity-1, through the real CLI."""
+    base, pkl, n = voc_with_results
+    out = str(tmp_path / "robust.json")
+    stdout = _run(["tools/analysis/test_robustness.py", "--voc07", base,
+                   "--mini", "--cpu", "--batch-size", "4", "--out", out,
+                   "--corruptions", "gaussian_noise", "brightness",
+                   "--severities", "0", "1"])
+    assert "Relative Performance under Corruption" in stdout
+    import json
+
+    data = json.load(open(out))
+    assert set(data) == {"gaussian_noise", "brightness"}
+    assert set(data["gaussian_noise"]) == {"0", "1"}
+    assert len(data["brightness"]["1"]) == 6  # tiny config: 6 classes
+
+
 def test_show_selected_cli(voc_with_results, tmp_path):
     """ShowSelectedImg port: renders the cycle's newly acquired images."""
     base, pkl, n = voc_with_results

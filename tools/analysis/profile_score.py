@@ -20,16 +20,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
-def timed(fn, args, iters, warmup=2):
+def timed(fn, variables, images, iters, warmup=2):
+    """Chained timing: each iteration's input depends on the previous
+    output and the final scalar is FETCHED, so the relay's async journal
+    (which defeats block_until_ready-based loops on this environment)
+    cannot under-report. fn(variables, images) -> pytree."""
     import jax
+    import jax.numpy as jnp
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    def scalarize(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+
+    def run(n):
+        x = images
+        s = None
+        for _ in range(n):
+            out = fn(variables, x)
+            s = scalarize(out)
+            dep = jnp.where(jnp.isnan(s), 1.0, 0.0)  # runtime zero
+            x = images + dep
+        return float(np.asarray(s))
+
+    run(warmup)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    run(iters)
     return (time.perf_counter() - t0) / iters
 
 
@@ -75,10 +90,12 @@ def main():
     score = make_score_step(model, cfg)
 
     stages = {}
-    stages["backbone"] = timed(backbone, (variables, images), args.iters)
-    stages["backbone+fpn"] = timed(feats, (variables, images), args.iters)
-    stages["forward(all heads)"] = timed(fwd, (variables, images), args.iters)
-    stages["score step(full)"] = timed(score, (variables, batch), args.iters)
+    stages["backbone"] = timed(backbone, variables, images, args.iters)
+    stages["backbone+fpn"] = timed(feats, variables, images, args.iters)
+    stages["forward(all heads)"] = timed(fwd, variables, images, args.iters)
+    stages["score step(full)"] = timed(
+        lambda v, x: score(v, batch._replace(images=x)), variables, images,
+        args.iters)
 
     # FLOPs roofline from XLA cost analysis of the full forward
     lowered = jax.jit(lambda v, x: model.apply(v, x)).lower(variables, images)
