@@ -303,6 +303,12 @@ class ALDriver:
         apis/train_Lambda.py:72-75). resume_cycle remains the coarser
         cycle-granular restart (ResumeCycle)."""
         os.makedirs(self.paths.work_dir, exist_ok=True)
+        try:
+            from ..utils.env import save_code
+
+            save_code(self.paths.work_dir)  # SaveCode (functions.py:103-116)
+        except Exception:
+            pass  # snapshotting must never block training
         mid = None  # (progress dict) for mid-cycle resume
         if resume_from:
             d = resume_from if os.path.isdir(resume_from) else os.path.dirname(resume_from)

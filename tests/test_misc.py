@@ -132,6 +132,19 @@ def test_stem_s2d_equivalence(rng):
         variables["params"]["backbone"]["conv1"]["kernel"].shape
 
 
+def test_save_code_snapshot(tmp_path):
+    """SaveCode port: the run dir gets a source snapshot archive."""
+    import tarfile
+
+    from aod_meh_hua_tpu.utils.env import save_code
+
+    p = save_code(str(tmp_path))
+    names = tarfile.open(p).getnames()
+    assert any(n.startswith("aod_meh_hua_tpu/") for n in names)
+    assert any(n.startswith("tools/") for n in names)
+    assert not any("__pycache__" in n for n in names)
+
+
 def test_profile_time_and_cost(capsys):
     from aod_meh_hua_tpu.utils.profiling import profile_time, compiled_cost
 
