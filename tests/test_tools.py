@@ -73,6 +73,23 @@ def test_eval_metric_cli(voc_with_results):
     assert "mAP@0.5" in out
 
 
+def test_error_analysis_cli(voc_with_results, tmp_path):
+    """Progressive error decomposition: perfect detections give
+    C75=C50=...=1.0 for detected classes; monotone non-decreasing gains."""
+    import json
+
+    base, pkl, n = voc_with_results
+    out = str(tmp_path / "err")
+    stdout = _run(["tools/analysis/error_analysis.py", pkl, out, "--voc", base])
+    assert "mean" in stdout
+    table = json.load(open(os.path.join(out, "error_analysis.json")))
+    keys = ("C75", "C50", "Loc", "Cls", "BG", "FN")
+    for cls_name, row in table.items():
+        vals = [row[k] for k in keys]
+        assert all(b >= a - 1e-6 for a, b in zip(vals, vals[1:])), (cls_name, vals)
+        assert row["FN"] == 1.0
+
+
 def test_corruptions_library():
     """Every benchmark + holdout corruption: valid uint8 output, shape
     preserved, deterministic under a fixed rng, and actually changes

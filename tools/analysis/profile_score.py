@@ -55,6 +55,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--mini", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--s2d", action="store_true", help="space-to-depth stem")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak (v5e bf16 = 197, fp32 ~ 49)")
     args = ap.parse_args()
@@ -73,6 +74,10 @@ def main():
 
     cfg = tiny_test_config(compute_dtype=args.dtype) if args.mini \
         else RetinaNetConfig(compute_dtype=args.dtype)
+    if args.s2d:
+        from dataclasses import replace as _rep
+
+        cfg = _rep(cfg, stem_s2d=True)
     model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
     h, w = cfg.canvas
     b = args.batch
