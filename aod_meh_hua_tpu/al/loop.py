@@ -217,7 +217,10 @@ class ALDriver:
         for inner in range(start_epoch, n_inner):
             lr = self.tcfg.lr * (0.1 if (is_final_run and inner >= self.tcfg.lr_step_epoch) else 1.0)
             state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
-            t0, n_iter, loss_sum = time.time(), 0, 0.0
+            t0, n_iter = time.time(), 0
+            auxes = []  # device scalars; fetched ONCE at epoch end (a
+            # mid-epoch fetch would flush this environment's TPU relay
+            # journal per iter — see engine/batch.prepare_images notes)
             for orientation, batch in loader:
                 if run_iter < self.tcfg.warmup_iters:
                     # mmcv linear warmup: lr * (1 - (1 - k/N)(1 - ratio))
@@ -229,16 +232,21 @@ class ALDriver:
                 state, aux = self._train_step(orientation)(state, self._shard(batch))
                 n_iter += 1
                 run_iter += 1
-                loss = float(aux["loss"])
-                if not np.isfinite(loss):
-                    # the reference's NaN/Inf asserts (My_L_ssd_head.py:281)
-                    raise FloatingPointError(
-                        f"non-finite loss {loss} at iter {run_iter} "
-                        f"(cls {float(aux['loss_cls'])}, bbox {float(aux['loss_bbox'])}, "
-                        f"meh {float(aux['loss_meh'])})"
-                    )
-                loss_sum += loss
+                auxes.append(aux)
+            losses = np.array([float(a["loss"]) for a in auxes])
             dt = time.time() - t0
+            bad = np.nonzero(~np.isfinite(losses))[0]
+            if bad.size:
+                # the reference's NaN/Inf asserts (My_L_ssd_head.py:281);
+                # epoch-granular here (per-iter would sync the device)
+                i = int(bad[0])
+                a = auxes[i]
+                raise FloatingPointError(
+                    f"non-finite loss {losses[i]} at epoch iter {i + 1} "
+                    f"(cls {float(a['loss_cls'])}, bbox {float(a['loss_bbox'])}, "
+                    f"meh {float(a['loss_meh'])})"
+                )
+            loss_sum = float(losses.sum())
             self.log(
                 f"    epoch done: {n_iter} iters, mean loss "
                 f"{loss_sum / max(n_iter, 1):.4f}, lr {lr:g}, {dt:.1f}s"
