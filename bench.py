@@ -67,6 +67,53 @@ def make_jpeg_pool(n, root="/tmp/bench_jpegs", hw=(600, 1000), seed=0):
     return _JpegPool(paths)
 
 
+def bench_train(model, variables, cfg, args):
+    """Fused train-step throughput (supervised + MEH phases, in-jit
+    target assignment). The state dependency chains iterations, so the
+    relay journal cannot under-report; the final loss is fetched."""
+    import jax
+    import numpy as np
+
+    from aod_meh_hua_tpu.engine import Batch, create_train_state, make_train_step
+    from aod_meh_hua_tpu.ops import anchor_valid_flags
+    from aod_meh_hua_tpu.utils.config import TrainConfig
+
+    import jax.numpy as jnp
+
+    b = args.train_batch
+    tcfg = TrainConfig(batch_size=b)
+    # the train step DONATES its state; copy so `variables` (shared with
+    # the scoring phases) keeps its buffers
+    own = jax.tree.map(jnp.array, variables)
+    state, tx = create_train_state(model, own, tcfg,
+                                   frozen_stages=cfg.frozen_stages)
+    step = make_train_step(model, cfg, tx)
+    h, w = cfg.canvas
+    rng = np.random.RandomState(0)
+    g = cfg.max_gt
+    boxes = np.zeros((b, g, 4), np.float32)
+    boxes[:, 0] = [40, 40, 300, 260]
+    gen = cfg.build_anchor_generator()
+    shapes = np.tile([[h, w]], (b, 1)).astype(np.int32)
+    av = anchor_valid_flags(gen, cfg.featmap_sizes(), shapes)
+    batch = Batch(rng.randn(b, h, w, 3).astype(np.float32) * 0.1, boxes,
+                  np.zeros((b, g), np.int32),
+                  np.tile(np.arange(g) == 0, (b, 1)),
+                  av, shapes)
+    batch = jax.device_put(batch)
+
+    state, aux = step(state, batch)  # compile
+    float(np.asarray(aux["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(args.train_iters):
+        state, aux = step(state, batch)
+    loss = float(np.asarray(aux["loss"]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return {"metric": "train_step_throughput", "value": round(b * args.train_iters / dt, 2),
+            "unit": "images/sec/chip", "batch": b}
+
+
 def bench_e2e(model, variables, cfg, batch, n_images, num_workers, pipe=None):
     """Decode-inclusive pool sweep through the REAL loader + score step."""
     from aod_meh_hua_tpu.al.uncertainty import score_pool
@@ -104,6 +151,10 @@ def main():
     ap.add_argument("--mini", action="store_true",
                     help="tiny model (plumbing smoke test, not a benchmark)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--train-iters", type=int, default=0,
+                    help="also measure the fused train step (0 = skip; "
+                         "costs a cold compile on first run)")
+    ap.add_argument("--train-batch", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -163,6 +214,8 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / (TARGET_MULTIPLIER * REFERENCE_A100_IMG_S), 3),
     }
+    if args.train_iters:
+        out["train"] = bench_train(model, variables, cfg, args)
     if args.e2e:
         try:
             pipe = None
