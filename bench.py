@@ -140,12 +140,15 @@ def bench_e2e(model, variables, cfg, batch, n_images, num_workers, pipe=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)  # 316 img/s vs 307 at 64
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--e2e", type=int, default=512,
                     help="decode-inclusive sweep size (0 = skip)")
+    ap.add_argument("--e2e-batch", type=int, default=64,
+                    help="e2e sweep batch (the sweep is wire/host-bound; "
+                         "64 keeps the uint8 program cache warm)")
     ap.add_argument("--workers", type=int, default=16,
                     help="decode thread-pool size for the e2e sweep")
     ap.add_argument("--mini", action="store_true",
@@ -224,8 +227,8 @@ def main():
 
                 pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas,
                                       device_normalize=True)
-            e2e_img_s = bench_e2e(model, variables, cfg, b, args.e2e, args.workers,
-                                  pipe=pipe)
+            e2e_img_s = bench_e2e(model, variables, cfg, args.e2e_batch,
+                                  args.e2e, args.workers, pipe=pipe)
             out["e2e"] = {
                 "metric": "pool_scoring_throughput_with_jpeg_decode",
                 "value": round(e2e_img_s, 2),
