@@ -1,0 +1,276 @@
+"""Faster R-CNN engine: proposal generation, RoI sampling, and the fused
+two-stage train / eval steps — each ONE jit region.
+
+Behavioral parity targets (reference, /root/reference):
+* mmdet/models/dense_heads/rpn_head.py:135-200 (_get_bboxes_single:
+  per-level sigmoid + top-k, decode, level-grouped NMS iou 0.7, top
+  max_per_img proposals)
+* mmdet/models/detectors/two_stage.py forward_train: RPN losses on
+  sampled 256 anchors (train_cfg.rpn) + proposals (train_cfg.rpn_proposal)
+  + StandardRoIHead.forward_train (assign 0.5/0.5 match_low_quality=False,
+  RandomSampler 512 @ 0.25 with gt-as-proposals, bbox targets with stds
+  (.1,.1,.2,.2), CE + L1; roi_heads/standard_roi_head.py,
+  bbox_heads/bbox_head.py:116-180,250-307)
+* eval: softmax scores, per-class decode, multiclass NMS
+  (bbox_head.get_bboxes, score_thr .05 / iou .5 / max 100).
+
+TPU redesign: no ragged anything. Proposals live in fixed [max_per_img]
+slot arrays with validity; sampling is ops/sampler.py's static random
+ranking; RoI features come from masked multi-level RoIAlign gathers; the
+whole train step (both stages + SGD) is a single fused jit program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.assigner import max_iou_assign
+from ..ops.bbox import delta_decode, delta_encode
+from ..ops.losses import binary_cross_entropy_with_logits, softmax_cross_entropy
+from ..ops.nms import batched_multiclass_nms, grouped_nms
+from ..ops.roi_align import multilevel_roi_align
+from ..ops.sampler import random_sample_pos_neg
+from .batch import Batch, ConstArg, EvalBatch, prepare_images
+from .train import TrainState
+
+
+def _stage1(m, images):
+    feats = m.features(images)
+    rpn_cls, rpn_reg = m.rpn(feats)
+    return feats, rpn_cls, rpn_reg
+
+
+def _roi(m, roi_feats):
+    return m.roi_forward(roi_feats)
+
+
+def make_proposal_fn(cfg) -> Callable:
+    """Returns proposals(rpn_cls [B,A], rpn_reg [B,A,4], anchors [A,4],
+    img_shapes [B,2], nms_pre, max_out) -> (boxes [B,P,4], scores [B,P],
+    valid [B,P]). Static shapes; level-grouped greedy NMS."""
+    bounds = cfg.level_bounds()
+
+    def proposals(rpn_cls, rpn_reg, anchors, img_shapes, nms_pre: int, max_out: int):
+        b = rpn_cls.shape[0]
+        scs, bxs, lvls = [], [], []
+        for li, (s0, s1) in enumerate(bounds):
+            sc = jax.nn.sigmoid(rpn_cls[:, s0:s1])
+            reg = rpn_reg[:, s0:s1]
+            anc = anchors[s0:s1]
+            n = s1 - s0
+            if n > nms_pre:
+                sc, idx = jax.lax.top_k(sc, nms_pre)
+                reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
+                anc = anc[idx]
+                n = nms_pre
+            else:
+                anc = jnp.broadcast_to(anc[None], (b,) + anc.shape)
+            boxes = delta_decode(anc, reg, max_shape=img_shapes)
+            scs.append(sc)
+            bxs.append(boxes)
+            lvls.append(jnp.full((n,), li, jnp.int32))
+        scores = jnp.concatenate(scs, axis=1)
+        boxes = jnp.concatenate(bxs, axis=1)
+        lvl = jnp.broadcast_to(jnp.concatenate(lvls)[None], scores.shape)
+        # min_bbox_size = 0: strictly positive extents survive
+        ok = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
+        dets = jax.vmap(
+            functools.partial(grouped_nms, iou_thr=cfg.rpn.nms_iou_thr, max_out=max_out)
+        )(boxes, scores, lvl, ok)
+        return dets.boxes, dets.scores, dets.valid
+
+    return proposals
+
+
+class _RPNTargets(NamedTuple):
+    is_pos: jnp.ndarray        # [A] bool (sampled positives, dense)
+    weights: jnp.ndarray       # [A] float (1 on sampled pos+neg)
+    bbox_targets: jnp.ndarray  # [A, 4]
+    num_samples: jnp.ndarray   # int32
+
+
+def _rpn_targets_single(key, anchors, anchor_valid, gt_boxes, gt_valid, rpn_cfg):
+    assigned = max_iou_assign(
+        anchors, gt_boxes, gt_valid, anchor_valid=anchor_valid,
+        pos_iou_thr=rpn_cfg.pos_iou_thr, neg_iou_thr=rpn_cfg.neg_iou_thr,
+        min_pos_iou=rpn_cfg.min_pos_iou, gt_max_assign_all=True,
+    )
+    s = random_sample_pos_neg(key, assigned, anchor_valid,
+                              rpn_cfg.sampler_num, rpn_cfg.pos_fraction)
+    a = anchors.shape[0]
+    # scatter-add (never set): invalid sampler slots all carry index 0 and
+    # must not clobber a genuine sample landing there
+    w = jnp.zeros((a,), jnp.float32).at[s.inds].add(jnp.where(s.valid, 1.0, 0.0))
+    pos = jnp.zeros((a,), jnp.int32).at[s.inds].add(
+        jnp.where(s.is_pos & s.valid, 1, 0)) > 0
+    gt_idx = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
+    deltas = delta_encode(anchors, gt_boxes[gt_idx], eps=1e-6)
+    bbox_t = jnp.where(pos[:, None], deltas, 0.0)
+    return _RPNTargets(pos, w, bbox_t, s.valid.sum().astype(jnp.int32))
+
+
+class _RoISample(NamedTuple):
+    rois: jnp.ndarray          # [S, 4]
+    labels: jnp.ndarray        # [S] int32 (num_classes = background)
+    label_weights: jnp.ndarray  # [S]
+    bbox_targets: jnp.ndarray  # [S, 4] encoded deltas (pos rows)
+    is_pos: jnp.ndarray        # [S] bool
+    valid: jnp.ndarray         # [S] bool
+
+
+def _roi_sample_single(key, props, prop_valid, gt_boxes, gt_labels, gt_valid, cfg):
+    """Assign + sample RoIs for one image (gt boxes prepended as
+    proposals, matching base_sampler.sample's cat order)."""
+    rc = cfg.rcnn
+    cands = jnp.concatenate([gt_boxes, props], axis=0)
+    cand_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
+    assigned = max_iou_assign(
+        cands, gt_boxes, gt_valid, anchor_valid=cand_valid,
+        pos_iou_thr=rc.pos_iou_thr, neg_iou_thr=rc.neg_iou_thr,
+        min_pos_iou=rc.min_pos_iou, match_low_quality=False,
+    )
+    s = random_sample_pos_neg(key, assigned, cand_valid, rc.sampler_num, rc.pos_fraction)
+    rois = cands[s.inds]
+    asg = assigned[s.inds]
+    gt_idx = jnp.clip(asg - 1, 0, gt_boxes.shape[0] - 1)
+    labels = jnp.where(s.is_pos, gt_labels[gt_idx], cfg.num_classes).astype(jnp.int32)
+    deltas = delta_encode(rois, gt_boxes[gt_idx], stds=rc.target_stds, eps=1e-6)
+    bbox_t = jnp.where(s.is_pos[:, None], deltas, 0.0)
+    return _RoISample(rois, labels, jnp.where(s.valid, 1.0, 0.0), bbox_t,
+                      s.is_pos, s.valid)
+
+
+def _extract_rois(cfg, feats, rois):
+    """Batched multi-level RoIAlign: feats per-level [B,H,W,C], rois
+    [B,S,4] -> [B*S, roi, roi, C] (f32)."""
+    rc = cfg.rcnn
+    lvl_feats = [feats[i] for i in range(len(rc.roi_strides))]
+
+    def per_image(*args):
+        f = list(args[:-1])
+        r = args[-1]
+        return multilevel_roi_align(f, r, rc.roi_strides, rc.roi_size,
+                                    rc.sampling_ratio, rc.finest_scale)
+
+    out = jax.vmap(per_image)(*lvl_feats, rois)  # [B, S, s, s, C]
+    return out.reshape((-1,) + out.shape[2:])
+
+
+def make_faster_rcnn_train_step(model, cfg, tx) -> Callable:
+    """One fused jit step: RPN losses + proposals + RoI sampling + RoI
+    losses + SGD update. Signature matches engine.train.make_train_step:
+    step(state, batch, key) -> (state, aux)."""
+    gen = cfg.build_anchor_generator()
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
+    proposal_fn = make_proposal_fn(cfg)
+
+    def loss_fn(params, batch_stats, batch: Batch, anchors, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        feats, rpn_cls, rpn_reg = model.apply(variables, images, method=_stage1)
+        b = rpn_cls.shape[0]
+
+        # ---- RPN losses (sampled 256 anchors per image) ----
+        k_rpn, k_roi = jax.random.split(key)
+        t = jax.vmap(functools.partial(_rpn_targets_single, rpn_cfg=cfg.rpn),
+                     in_axes=(0, None, 0, 0, 0))(
+            jax.random.split(k_rpn, b), anchors,
+            batch.anchor_valid, batch.gt_boxes, batch.gt_valid)
+        num_total = jnp.maximum(t.num_samples.sum().astype(jnp.float32), 1.0)
+        loss_rpn_cls = (binary_cross_entropy_with_logits(
+            rpn_cls, t.is_pos.astype(jnp.float32), reduction="none")
+            * t.weights).sum() / num_total
+        loss_rpn_bbox = (jnp.abs(rpn_reg - t.bbox_targets)
+                         * t.is_pos[..., None]).sum() / num_total
+
+        # ---- proposals (detached, as the reference's proposal_list) ----
+        props, _, prop_valid = proposal_fn(
+            jax.lax.stop_gradient(rpn_cls), jax.lax.stop_gradient(rpn_reg),
+            anchors, batch.img_shapes,
+            cfg.rpn.train_nms_pre, cfg.rpn.train_max_per_img)
+
+        # ---- RoI sampling + second-stage losses ----
+        smp = jax.vmap(functools.partial(_roi_sample_single, cfg=cfg))(
+            jax.random.split(k_roi, b), props, prop_valid,
+            batch.gt_boxes, batch.gt_labels, batch.gt_valid)
+        roi_feats = _extract_rois(cfg, feats, smp.rois)
+        cls, reg = model.apply(variables, roi_feats, method=_roi)
+
+        labels = smp.labels.reshape(-1)
+        label_w = smp.label_weights.reshape(-1)
+        avg_cls = jnp.maximum((label_w > 0).sum().astype(jnp.float32), 1.0)
+        loss_cls = (softmax_cross_entropy(cls, labels, reduction="none")
+                    * label_w).sum() / avg_cls
+        # class-specific regression slice for positive rows
+        sel = jnp.clip(labels, 0, cfg.num_classes - 1)
+        reg_sel = jnp.take_along_axis(
+            reg, jnp.repeat(sel[:, None, None], 4, axis=-1), axis=1)[:, 0]
+        pos = smp.is_pos.reshape(-1)
+        # avg_factor = number of sampled rois (bbox_head.py:302)
+        avg_reg = jnp.maximum(smp.valid.sum().astype(jnp.float32), 1.0)
+        loss_bbox = (jnp.abs(reg_sel - smp.bbox_targets.reshape(-1, 4))
+                     * pos[:, None]).sum() / avg_reg
+
+        total = loss_rpn_cls + loss_rpn_bbox + loss_cls + loss_bbox
+        aux = {"loss": total, "loss_rpn_cls": loss_rpn_cls,
+               "loss_rpn_bbox": loss_rpn_bbox, "loss_cls": loss_cls,
+               "loss_bbox": loss_bbox,
+               "num_pos": pos.sum().astype(jnp.float32)}
+        return total, aux
+
+    def train_step(state: TrainState, batch: Batch, anchors, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, state.batch_stats, batch, anchors, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
+
+    jfn = jax.jit(train_step, donate_argnums=(0,))
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(state: TrainState, batch: Batch, key):
+        return jfn(state, batch, anchors_arg.get(batch.images), key)
+
+    return step
+
+
+def make_faster_rcnn_eval_step(model, cfg) -> Callable:
+    """step(variables, batch: EvalBatch) -> NMSResult (same contract as
+    engine.eval.make_eval_step, consumable by detections_to_per_class)."""
+    gen = cfg.build_anchor_generator()
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
+    proposal_fn = make_proposal_fn(cfg)
+    t = cfg.test
+    c = cfg.num_classes
+
+    def eval_step(variables, batch: EvalBatch, anchors):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        feats, rpn_cls, rpn_reg = model.apply(variables, images, method=_stage1)
+        props, _, prop_valid = proposal_fn(
+            rpn_cls, rpn_reg, anchors, batch.img_shapes,
+            cfg.rpn.test_nms_pre, cfg.rpn.test_max_per_img)
+        roi_feats = _extract_rois(cfg, feats, props)
+        cls, reg = model.apply(variables, roi_feats, method=_roi)
+        b, p = props.shape[:2]
+        probs = jax.nn.softmax(cls, axis=-1).reshape(b, p, c + 1)
+        boxes = delta_decode(
+            props[:, :, None, :], reg.reshape(b, p, c, 4),
+            stds=cfg.rcnn.target_stds, max_shape=batch.img_shapes[:, None, :])
+        boxes = boxes / batch.scale_factors[:, None, None, :]
+        fg = probs[..., :c] * prop_valid[..., None]
+        return batched_multiclass_nms(
+            boxes, fg, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands)
+
+    jfn = jax.jit(eval_step)
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(variables, batch: EvalBatch):
+        return jfn(variables, batch, anchors_arg.get(batch.images))
+
+    return step

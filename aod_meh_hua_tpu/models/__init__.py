@@ -13,3 +13,11 @@ from .vgg import SSDVGG, convert_mmcv_vgg16
 from .ssd_neck import SSDNeck
 from .ssd_head import SSDMEHHead
 from .ssd_detector import MEHSSD, build_ssd, init_ssd
+from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
+from .two_stage import (
+    FasterRCNN,
+    RPNHead,
+    Shared2FCBBoxHead,
+    build_faster_rcnn,
+    init_faster_rcnn,
+)

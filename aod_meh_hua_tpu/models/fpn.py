@@ -31,10 +31,16 @@ def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 
 
 class FPN(nn.Module):
+    """add_extra_convs modes (reference mmdet/models/necks/fpn.py:10):
+    'on_input' (RetinaNet: P6/P7 = s2 convs from C5), 'on_output' (FCOS:
+    from P5), 'maxpool' (Faster R-CNN add_extra_convs=False: stride-2
+    1x1 max-pool on the last output)."""
+
     out_channels: int = 256
     start_level: int = 1
     num_outs: int = 5
     relu_before_extra_convs: bool = False
+    add_extra_convs: str = "on_input"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,13 +59,15 @@ class FPN(nn.Module):
                     dtype=self.dtype, name=f"fpn_{i}")(laterals[i])
             for i in range(len(laterals))
         ]
-        # extra levels from the last backbone input ('on_input'): P6 = conv
-        # s2 on C5, P7 = conv s2 on P6 (no relu between by default)
-        extra_source = inputs[-1]
         for i in range(self.num_outs - len(outs)):
-            src = extra_source if i == 0 else (
-                nn.relu(outs[-1]) if self.relu_before_extra_convs else outs[-1]
-            )
+            if self.add_extra_convs == "maxpool":
+                # F.max_pool2d(outs[-1], 1, stride=2): plain subsampling
+                outs.append(outs[-1][:, ::2, ::2, :])
+                continue
+            if i == 0:
+                src = inputs[-1] if self.add_extra_convs == "on_input" else outs[-1]
+            else:
+                src = nn.relu(outs[-1]) if self.relu_before_extra_convs else outs[-1]
             outs.append(
                 nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name=f"extra_{i}")(src)

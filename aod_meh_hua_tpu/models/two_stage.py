@@ -1,0 +1,142 @@
+"""Faster R-CNN (two-stage) model components (Flax).
+
+Behavioral parity targets (reference, /root/reference):
+* configs/_base_/models/faster_rcnn_r50_fpn.py — the upstream family the
+  fork keeps registered (mmdet/models/detectors/faster_rcnn.py; VOC
+  variant configs/pascal_voc/): R50 + FPN(num_outs=5, extra = maxpool),
+  RPNHead(3x3 conv -> 1x1 objectness/deltas over 3 anchors,
+  rpn_head.py:29-43), StandardRoIHead with SingleRoIExtractor(RoIAlign 7,
+  strides 4-32) + Shared2FCBBoxHead(two fc1024, softmax C+1 cls,
+  class-specific reg, convfc_bbox_head.py).
+
+TPU-first: modules hold parameters and pure forward passes only; the
+proposal/sampling/target logic lives in engine/two_stage.py as one jit
+region over fixed-shape ops (grouped NMS, random sampler, RoIAlign
+gathers). NHWC throughout; head outputs flatten to [B, A_tot, .] in the
+same row-major cell / anchor-minor order as ops/anchors.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .fpn import FPN
+from .resnet import ResNet
+from .detector import flatten_levels
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + ReLU, then 1x1 objectness (A) and deltas (A*4)."""
+
+    num_anchors: int = 3
+    feat_channels: int = 256
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from jax.nn.initializers import normal, zeros
+
+        self.rpn_conv = nn.Conv(
+            self.feat_channels, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=normal(0.01), bias_init=zeros, dtype=self.dtype, name="rpn_conv")
+        self.rpn_cls = nn.Conv(
+            self.num_anchors, (1, 1), kernel_init=normal(0.01), bias_init=zeros,
+            dtype=self.dtype, name="rpn_cls")
+        self.rpn_reg = nn.Conv(
+            self.num_anchors * 4, (1, 1), kernel_init=normal(0.01), bias_init=zeros,
+            dtype=self.dtype, name="rpn_reg")
+
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        """Per-level maps -> (objectness [B, A_tot], deltas [B, A_tot, 4])."""
+        cls_maps, reg_maps = [], []
+        for f in feats:
+            x = nn.relu(self.rpn_conv(f))
+            cls_maps.append(self.rpn_cls(x))
+            reg_maps.append(self.rpn_reg(x))
+        cls = flatten_levels(cls_maps, 1)[..., 0].astype(jnp.float32)
+        reg = flatten_levels(reg_maps, 4).astype(jnp.float32)
+        return cls, reg
+
+
+class Shared2FCBBoxHead(nn.Module):
+    """Flattened 7x7x256 RoI feature -> fc1024 -> fc1024 -> (cls, reg).
+
+    cls has C+1 channels (softmax, background last); reg is class-specific
+    [*, C, 4] (reg_class_agnostic=False). Init: Xavier-uniform shared fcs,
+    Normal(0.01) cls, Normal(0.001) reg (convfc_bbox_head.py init_cfg).
+    """
+
+    num_classes: int
+    fc_channels: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        from jax.nn.initializers import normal, xavier_uniform, zeros
+
+        x = roi_feats.reshape(roi_feats.shape[0], -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xavier_uniform(),
+                             bias_init=zeros, dtype=self.dtype, name="shared_fc_0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xavier_uniform(),
+                             bias_init=zeros, dtype=self.dtype, name="shared_fc_1")(x))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=normal(0.01),
+                       bias_init=zeros, dtype=self.dtype, name="fc_cls")(x)
+        reg = nn.Dense(self.num_classes * 4, kernel_init=normal(0.001),
+                       bias_init=zeros, dtype=self.dtype, name="fc_reg")(x)
+        return (cls.astype(jnp.float32),
+                reg.astype(jnp.float32).reshape(-1, self.num_classes, 4))
+
+
+class FasterRCNN(nn.Module):
+    """Parameter container + pure forwards; orchestration in engine/two_stage."""
+
+    cfg: Any  # FasterRCNNConfig
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
+        self.backbone = backbone_cls(
+            block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
+            stem_s2d=self.cfg.stem_s2d, dtype=dtype, name="backbone")
+        self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
+                        num_outs=len(self.cfg.rpn.anchor_strides),
+                        add_extra_convs="maxpool", dtype=dtype, name="neck")
+        self.rpn_head = RPNHead(num_anchors=self.cfg.rpn.num_anchors,
+                                feat_channels=self.cfg.fpn_channels,
+                                dtype=dtype, name="rpn_head")
+        self.bbox_head = Shared2FCBBoxHead(num_classes=self.cfg.num_classes,
+                                           fc_channels=self.cfg.rcnn.fc_channels,
+                                           dtype=dtype, name="bbox_head")
+
+    def features(self, images: jnp.ndarray):
+        return self.neck(self.backbone(images))
+
+    def rpn(self, feats):
+        return self.rpn_head(feats)
+
+    def roi_forward(self, roi_feats: jnp.ndarray):
+        return self.bbox_head(roi_feats)
+
+    def __call__(self, images: jnp.ndarray):
+        """Init/compile-check forward: builds every parameter."""
+        feats = self.features(images)
+        rpn_cls, rpn_reg = self.rpn_head(feats)
+        s = self.cfg.rcnn.roi_size
+        dummy = jnp.zeros((1, s, s, self.cfg.fpn_channels), jnp.float32)
+        cls, reg = self.bbox_head(dummy)
+        return rpn_cls, rpn_reg, cls, reg
+
+
+def build_faster_rcnn(cfg) -> FasterRCNN:
+    return FasterRCNN(cfg=cfg)
+
+
+def init_faster_rcnn(cfg, rng: jax.Array):
+    model = build_faster_rcnn(cfg)
+    h, w = cfg.canvas
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, dummy)
+    return model, variables

@@ -18,7 +18,22 @@ from .losses import (
     softmax_cross_entropy,
     weight_reduce_loss,
 )
-from .nms import multiclass_nms, batched_multiclass_nms
+from .losses import (
+    binary_cross_entropy_with_logits,
+    iou_loss,
+    giou_loss,
+    diou_loss,
+    ciou_loss,
+)
+from .nms import multiclass_nms, batched_multiclass_nms, grouped_nms
+from .roi_align import roi_align, multilevel_roi_align, map_roi_levels
+from .sampler import random_sample_pos_neg, SampleResult
+from .points import (
+    fcos_points,
+    fcos_targets_single,
+    centerness_target,
+    distance2bbox,
+)
 from .dirichlet import dirichlet_mutual_information, dirichlet_mi_sampled
 from .hua import (
     object_membership,

@@ -185,3 +185,124 @@ def softmax_cross_entropy(
     log_p = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def binary_cross_entropy_with_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Numerically-stable sigmoid BCE on float targets (the reference's
+    CrossEntropyLoss(use_sigmoid=True) used for RPN objectness and FCOS
+    centerness, mmdet/models/losses/cross_entropy_loss.py)."""
+    loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+# --- IoU-family regression losses -----------------------------------------
+# Behavioral parity: mmdet/models/losses/iou_loss.py (IoULoss linear=False,
+# GIoULoss, DIoULoss, CIoULoss — the upstream family registered by the
+# reference's LOSSES registry and used by its FCOS/ATSS/GFL configs).
+# Operates on ALIGNED box pairs pred[i] <-> target[i], (x1, y1, x2, y2).
+
+
+def _aligned_iou_terms(pred: jnp.ndarray, target: jnp.ndarray, eps: float):
+    """Returns (ious, enclose_wh, centers_pred, centers_tgt, wh_pred, wh_tgt)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    overlap = wh[..., 0] * wh[..., 1]
+    ap = jnp.clip(pred[..., 2] - pred[..., 0], 0.0, None) * jnp.clip(
+        pred[..., 3] - pred[..., 1], 0.0, None)
+    at = jnp.clip(target[..., 2] - target[..., 0], 0.0, None) * jnp.clip(
+        target[..., 3] - target[..., 1], 0.0, None)
+    union = jnp.maximum(ap + at - overlap, eps)
+    ious = overlap / union
+    enclose_lt = jnp.minimum(pred[..., :2], target[..., :2])
+    enclose_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    enclose_wh = jnp.clip(enclose_rb - enclose_lt, 0.0, None)
+    return ious, union, enclose_wh
+
+
+def iou_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    linear: bool = False,
+    eps: float = 1e-6,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """IoULoss: -log(iou) (default) or 1 - iou (linear mode)."""
+    ious, _, _ = _aligned_iou_terms(pred, target, eps)
+    ious = jnp.clip(ious, eps, None)
+    loss = (1.0 - ious) if linear else -jnp.log(ious)
+    return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def giou_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    eps: float = 1e-7,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """GIoULoss: 1 - GIoU, GIoU = IoU - |C \\ (A u B)| / |C|."""
+    ious, union, enclose_wh = _aligned_iou_terms(pred, target, eps)
+    enclose_area = jnp.maximum(enclose_wh[..., 0] * enclose_wh[..., 1], eps)
+    gious = ious - (enclose_area - union) / enclose_area
+    return loss_weight * weight_reduce_loss(1.0 - gious, weight, reduction, avg_factor)
+
+
+def diou_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    eps: float = 1e-7,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """DIoULoss: 1 - IoU + rho^2(centers) / c^2(enclosing diagonal)."""
+    ious, _, enclose_wh = _aligned_iou_terms(pred, target, eps)
+    c2 = enclose_wh[..., 0] ** 2 + enclose_wh[..., 1] ** 2 + eps
+    cp = (pred[..., :2] + pred[..., 2:]) * 0.5
+    ct = (target[..., :2] + target[..., 2:]) * 0.5
+    rho2 = ((cp - ct) ** 2).sum(axis=-1)
+    loss = 1.0 - ious + rho2 / c2
+    return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def ciou_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    eps: float = 1e-7,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """CIoULoss: DIoU + alpha * v aspect-ratio consistency term; the v term
+    is treated as a constant factor w.r.t. w, h in the reference backward
+    (alpha detached), reproduced with stop_gradient."""
+    import math
+
+    ious, _, enclose_wh = _aligned_iou_terms(pred, target, eps)
+    c2 = enclose_wh[..., 0] ** 2 + enclose_wh[..., 1] ** 2 + eps
+    cp = (pred[..., :2] + pred[..., 2:]) * 0.5
+    ct = (target[..., :2] + target[..., 2:]) * 0.5
+    rho2 = ((cp - ct) ** 2).sum(axis=-1)
+    wp = jnp.clip(pred[..., 2] - pred[..., 0], eps, None)
+    hp = jnp.clip(pred[..., 3] - pred[..., 1], eps, None)
+    wt = jnp.clip(target[..., 2] - target[..., 0], eps, None)
+    ht = jnp.clip(target[..., 3] - target[..., 1], eps, None)
+    factor = 4.0 / (math.pi ** 2)
+    v = factor * (jnp.arctan(wt / ht) - jnp.arctan(wp / hp)) ** 2
+    alpha = jax.lax.stop_gradient(v / (1.0 - ious + v + eps))
+    loss = 1.0 - ious + rho2 / c2 + alpha * v
+    return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
