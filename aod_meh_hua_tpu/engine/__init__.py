@@ -17,3 +17,4 @@ from .two_stage import (
     make_proposal_fn,
 )
 from .fcos import make_fcos_train_step, make_fcos_eval_step
+from .atss import make_atss_train_step, make_atss_eval_step

@@ -14,6 +14,7 @@ from .ssd_neck import SSDNeck
 from .ssd_head import SSDMEHHead
 from .ssd_detector import MEHSSD, build_ssd, init_ssd
 from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
+from .atss import ATSS, ATSSHead, build_atss, init_atss
 from .two_stage import (
     FasterRCNN,
     RPNHead,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .bbox import bbox_overlaps, delta_encode
@@ -83,6 +84,63 @@ def max_iou_assign(
     # reference short-circuit: no gt at all -> everything background
     assigned = jnp.where(jnp.any(gt_valid), assigned, 0)
     return assigned
+
+
+def atss_assign(
+    anchors: jnp.ndarray,
+    level_bounds,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    topk: int = 9,
+) -> jnp.ndarray:
+    """Adaptive Training Sample Selection (reference
+    mmdet/core/bbox/assigners/atss_assigner.py:assign):
+
+    per gt, the `topk` center-closest anchors on EACH level are
+    candidates; the positive IoU threshold is mean + std (sample std,
+    ddof=1) of the candidate IoUs; positives additionally need their
+    center strictly inside the gt (margin 0.01); an anchor claimed by
+    several gts goes to the highest-IoU one.
+
+    Dense fixed-shape version: the reference's per-level index lists
+    become a [A, G] candidate mask built by per-level top-k scatters.
+    Returns [A] int32 in mmdet encoding (0 background, g+1 positive).
+    """
+    num_gt = gt_boxes.shape[0]
+    overlaps = bbox_overlaps(anchors, gt_boxes)  # [A, G]
+
+    acx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
+    gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
+    dist = jnp.sqrt((acx[:, None] - gcx[None, :]) ** 2
+                    + (acy[:, None] - gcy[None, :]) ** 2)
+
+    cand = jnp.zeros(overlaps.shape, bool)
+    g_idx = jnp.arange(num_gt)[None, :]
+    for (s0, s1) in level_bounds:
+        k = min(topk, s1 - s0)
+        _, idx = jax.lax.top_k(-dist[s0:s1].T, k)  # [G, k] closest per gt
+        cand = cand.at[idx.T + s0, g_idx].set(True)
+
+    n_cand = cand.sum(axis=0)  # k * num_levels (constant)
+    c_iou = jnp.where(cand, overlaps, 0.0)
+    mean = c_iou.sum(axis=0) / jnp.maximum(n_cand, 1)
+    var = jnp.where(cand, (overlaps - mean[None, :]) ** 2, 0.0).sum(axis=0)
+    std = jnp.sqrt(var / jnp.maximum(n_cand - 1, 1))
+    thr = mean + std  # [G]
+
+    l_ = acx[:, None] - gt_boxes[None, :, 0]
+    t_ = acy[:, None] - gt_boxes[None, :, 1]
+    r_ = gt_boxes[None, :, 2] - acx[:, None]
+    b_ = gt_boxes[None, :, 3] - acy[:, None]
+    in_gt = jnp.minimum(jnp.minimum(l_, t_), jnp.minimum(r_, b_)) > 0.01
+
+    is_pos = cand & (overlaps >= thr[None, :]) & in_gt & gt_valid[None, :]
+    masked = jnp.where(is_pos, overlaps, -1.0)
+    best = masked.argmax(axis=1)
+    has = masked.max(axis=1) > -0.5
+    return jnp.where(has, best.astype(jnp.int32) + 1, 0)
 
 
 class AnchorTargets(NamedTuple):

@@ -452,6 +452,79 @@ class FCOSConfig:
 
 
 @dataclass(frozen=True)
+class ATSSConfig:
+    """ATSS R50-FPN, VOC classes (the upstream adaptive-assignment family
+    the reference keeps registered; configs/atss/atss_r50_fpn_1x_coco.py:
+    one anchor per cell at octave scale 8, GIoU loss weight 2, topk 9)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    octave_base_scale: int = 8
+    ratios: Tuple[float, ...] = (1.0,)
+    atss_topk: int = 9
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    giou_loss_weight: float = 2.0
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.6, max_per_img=100))
+
+    family = "atss"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def for_orientation(self, orientation: str) -> "ATSSConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=self.ratios,
+            octave_base_scale=self.octave_base_scale, scales_per_octave=1,
+        )
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        assert h % 32 == 0 and w % 32 == 0, "canvas must be divisible by 32"
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        a = len(self.ratios)
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w * a
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimizer/schedule (Config_RetinaNet.py:89-94 + driver overrides)."""
 
@@ -733,6 +806,23 @@ def tiny_fcos_config(**overrides) -> FCOSConfig:
     )
     base.update(overrides)
     return FCOSConfig(**base)
+
+
+def tiny_atss_config(**overrides) -> ATSSConfig:
+    """A shrunken ATSS for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return ATSSConfig(**base)
 
 
 def tiny_test_config(**overrides) -> RetinaNetConfig:
