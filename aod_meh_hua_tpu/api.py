@@ -21,15 +21,44 @@ from .models import init_retinanet, init_ssd
 from .utils.config import RetinaNetConfig, SSDConfig
 
 
+def _family(cfg) -> str:
+    return getattr(cfg, "family", "retinanet")
+
+
 def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
-    """Build a detector (+ load a checkpoint). Returns (model, variables)."""
-    if getattr(cfg, "family", "retinanet") == "ssd":
-        model, variables = init_ssd(cfg, jax.random.PRNGKey(seed))
-    else:
-        model, variables = init_retinanet(cfg, jax.random.PRNGKey(seed))
+    """Build a detector of any registered family (+ load a checkpoint).
+    Returns (model, variables). Families: retinanet (MEH), ssd (MEH),
+    faster_rcnn, fcos, atss — the reference's build_detector registry
+    collapsed to a config-type dispatch."""
+    from .models import init_atss, init_faster_rcnn, init_fcos
+
+    init_fn = {
+        "retinanet": init_retinanet,
+        "ssd": init_ssd,
+        "faster_rcnn": init_faster_rcnn,
+        "fcos": init_fcos,
+        "atss": init_atss,
+    }[_family(cfg)]
+    model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
         variables = load_checkpoint(checkpoint, variables)
     return model, variables
+
+
+def make_eval_step_for(model, cfg):
+    """Family-dispatched jitted eval step (NMSResult contract)."""
+    from .engine.atss import make_atss_eval_step
+    from .engine.fcos import make_fcos_eval_step
+    from .engine.two_stage import make_faster_rcnn_eval_step
+
+    fn = {
+        "retinanet": make_eval_step,
+        "ssd": make_eval_step,
+        "faster_rcnn": make_faster_rcnn_eval_step,
+        "fcos": make_fcos_eval_step,
+        "atss": make_atss_eval_step,
+    }[_family(cfg)]
+    return fn(model, cfg)
 
 
 def _default_pipeline(cfg) -> PipelineConfig:
@@ -52,7 +81,7 @@ class Detector:
 
     def _step(self, orientation: str):
         if orientation not in self._steps:
-            self._steps[orientation] = make_eval_step(
+            self._steps[orientation] = make_eval_step_for(
                 self.model, self.cfg.for_orientation(orientation)
             )
         return self._steps[orientation]

@@ -181,9 +181,14 @@ def softmax_cross_entropy(
     avg_factor: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-anchor softmax CE with integer labels (for SSD-style heads where
-    the background is an explicit class C). Returns [N] before reduction."""
+    the background is an explicit class C). Returns [N] before reduction.
+
+    Out-of-range labels clamp to the last (background) column — jnp's
+    default gather mode fills OOB with NaN, which would silently poison
+    the loss when a shrunken test config meets full-VOC labels."""
     log_p = jax.nn.log_softmax(logits, axis=-1)
-    loss = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+    loss = -jnp.take_along_axis(log_p, labels[..., None], axis=-1,
+                                mode="clip")[..., 0]
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 
 

@@ -426,6 +426,18 @@ class FCOSConfig:
     def num_fg_classes(self) -> int:
         return self.num_classes
 
+    def build_anchor_generator(self):
+        """Point-compatible 1-anchor generator: FCOS itself is anchor-free
+        (the loss never reads anchor_valid), but the shared TrainLoader
+        derives per-image pad-validity flags from a generator — one anchor
+        per cell aligns 1:1 with the point table."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=(1.0,),
+            octave_base_scale=8, scales_per_octave=1,
+        )
+
     def for_orientation(self, orientation: str) -> "FCOSConfig":
         h, w = self.canvas
         land = (max(h, w) == w)

@@ -4,6 +4,7 @@ The reference ships these as untested scripts (SURVEY.md section 4);
 here each gets an end-to-end drive on the synthetic VOC fixture.
 """
 
+import json
 import os
 import pickle
 import subprocess
@@ -170,3 +171,24 @@ def test_show_selected_cli(voc_with_results, tmp_path):
     assert "wrote 2 selected-image renders" in out
     files = os.listdir(os.path.join(work, "visualization", "cycle1"))
     assert len(files) == 2 and all(f.startswith("rank") for f in files)
+
+
+def test_train_detector_cli(voc_with_results, tmp_path):
+    """Generic zoo trainer (upstream tools/train.py equivalent): one FCOS
+    mini epoch through the real CLI produces a finite loss, an eval mAP
+    row, and a checkpoint."""
+    base, _, _ = voc_with_results
+    test_txt = os.path.join(base, "ImageSets/Main/test.txt")
+    if not os.path.exists(test_txt):
+        ids = [l.strip() for l in open(os.path.join(base, "ImageSets/Main/trainval.txt"))]
+        with open(test_txt, "w") as f:
+            f.write("\n".join(ids[:2]))
+    work = str(tmp_path / "det")
+    out = _run(["tools/train_detector.py", "--family", "fcos", "--mini",
+                "--cpu", "--voc07", base, "--work-dir", work,
+                "--epochs", "1"])
+    assert "mean loss" in out and "nan" not in out
+    assert "VOC mAP" in out
+    assert os.path.exists(os.path.join(work, "fcos_final.ckpt"))
+    row = json.loads(open(os.path.join(work, "train_log.jsonl")).read().splitlines()[0])
+    assert np.isfinite(row["loss"]) and "mAP" in row

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Generic (non-AL) detector training CLI — the upstream-mmdet
+`tools/train.py` equivalent for the zoo families beyond the two AL
+drivers: faster_rcnn, fcos, atss (retinanet/ssd train through their AL
+CLIs, tools/train_retinanet.py / train_ssd.py).
+
+Behavioral parity target (reference, /root/reference):
+* the fork's registered upstream families are trained by mmdet's
+  EpochBasedRunner over a VOC/COCO config (mmcv runner machinery); here
+  that collapses to one jitted family train step + a host epoch loop
+  with per-epoch VOC mAP eval and step-decayed SGD.
+
+Usage:
+  python tools/train_detector.py --family faster_rcnn \
+      --voc07 /data/VOCdevkit/VOC2007 [--voc12 ...] --work-dir work
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", required=True,
+                    choices=["faster_rcnn", "fcos", "atss"])
+    ap.add_argument("--voc07", required=True, help="VOC2007 root")
+    ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--lr-steps", type=int, nargs="*", default=[8, 11],
+                    help="epochs at which lr drops x0.1 (1x schedule)")
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=0.0025,
+                    help="reference per-GPU lr for batch 2")
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--weight-decay", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=20)
+    ap.add_argument("--eval-interval", type=int, default=1)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--mini", action="store_true", help="tiny model smoke mode")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-validate", action="store_true")
+    return ap.parse_args()
+
+
+def build(family, mini, dtype):
+    from aod_meh_hua_tpu.utils.config import (
+        ATSSConfig, FasterRCNNConfig, FCOSConfig,
+        tiny_atss_config, tiny_faster_rcnn_config, tiny_fcos_config,
+    )
+
+    full = {"faster_rcnn": FasterRCNNConfig, "fcos": FCOSConfig,
+            "atss": ATSSConfig}
+    tiny = {"faster_rcnn": tiny_faster_rcnn_config, "fcos": tiny_fcos_config,
+            "atss": tiny_atss_config}
+    return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
+
+
+def make_steps(family, model, cfg, tx):
+    """Uniform step(state, batch, key) signature across families."""
+    if family == "faster_rcnn":
+        from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
+
+        return make_faster_rcnn_train_step(model, cfg, tx)
+    if family == "fcos":
+        from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
+
+        inner = make_fcos_train_step(model, cfg, tx)
+    else:
+        from aod_meh_hua_tpu.engine.atss import make_atss_train_step
+
+        inner = make_atss_train_step(model, cfg, tx)
+    return lambda state, batch, key: inner(state, batch)
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
+    from aod_meh_hua_tpu.data import (
+        ConcatVOC, EvalLoader, PipelineConfig, TrainLoader, VOCDataset,
+    )
+    from aod_meh_hua_tpu.engine import create_train_state, detections_to_per_class
+    from aod_meh_hua_tpu.engine.checkpoint import save_checkpoint
+    from aod_meh_hua_tpu.engine.train import set_learning_rate
+    from aod_meh_hua_tpu.utils.config import TrainConfig
+    from aod_meh_hua_tpu.utils.voc_eval import eval_map
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    cfg = build(args.family, args.mini, args.dtype)
+    tcfg = TrainConfig(lr=args.lr, momentum=args.momentum,
+                       weight_decay=args.weight_decay,
+                       batch_size=args.batch_size, seed=args.seed)
+    model, variables = init_detector(cfg, seed=args.seed)
+    state, tx = create_train_state(model, variables, tcfg,
+                                   frozen_stages=cfg.frozen_stages)
+    step = make_steps(args.family, model, cfg, tx)
+
+    from aod_meh_hua_tpu.data.voc import VOC_CLASSES
+
+    # shrunken --mini heads have < 20 classes: restrict the dataset to the
+    # matching class subset (unknown names are skipped by the parser)
+    classes = VOC_CLASSES[: cfg.num_classes]
+    datasets = [VOCDataset(os.path.join(args.voc07, "ImageSets/Main/trainval.txt"),
+                           args.voc07, classes=classes)]
+    if args.voc12:
+        datasets.append(VOCDataset(
+            os.path.join(args.voc12, "ImageSets/Main/trainval.txt"), args.voc12,
+            classes=classes))
+    train_set = ConcatVOC(datasets)
+    val = None
+    if not args.no_validate:
+        test_txt = os.path.join(args.voc07, "ImageSets/Main/test.txt")
+        if os.path.exists(test_txt):
+            val = VOCDataset(test_txt, args.voc07, test_mode=True, classes=classes)
+
+    pipe = PipelineConfig(canvas=cfg.canvas, device_normalize=True)
+    if args.mini:
+        # tiny canvases are (64, 128): keep-ratio scale that always fits
+        pipe = PipelineConfig(img_scale=(128, 60), canvas=cfg.canvas,
+                              device_normalize=True)
+    loader = TrainLoader(train_set, np.arange(len(train_set)), cfg, pipe,
+                         batch_size=args.batch_size, seed=args.seed)
+    eval_steps = {}
+    key = jax.random.PRNGKey(args.seed)
+    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+    metrics = []
+
+    for epoch in range(args.epochs):
+        lr = args.lr * (0.1 ** sum(epoch >= s for s in args.lr_steps))
+        state = state._replace(opt_state=set_learning_rate(state.opt_state, lr))
+        t0 = time.time()
+        losses = []
+        for orientation, batch in loader:
+            key, k = jax.random.split(key)
+            state, aux = step(state, batch, k)
+            losses.append(aux["loss"])
+        mean_loss = float(np.mean([float(np.asarray(l)) for l in losses]))
+        print(f"epoch {epoch}: {len(losses)} iters, mean loss {mean_loss:.4f}, "
+              f"lr {lr:g}, {time.time() - t0:.1f}s", flush=True)
+        row = {"epoch": epoch, "loss": mean_loss, "lr": lr}
+
+        if val is not None and (epoch + 1) % args.eval_interval == 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            results, order = [], []
+            vloader = EvalLoader(val, np.arange(len(val)), pipe,
+                                 batch_size=max(args.batch_size, 4))
+            for orientation, ebatch, idx in vloader:
+                if orientation not in eval_steps:
+                    eval_steps[orientation] = make_eval_step_for(
+                        model, cfg.for_orientation(orientation))
+                dets = eval_steps[orientation](variables, ebatch)
+                results.extend(detections_to_per_class(
+                    dets, cfg.num_classes, np.asarray(ebatch.valid)))
+                order.extend(idx.tolist())
+            anns = [val.get_ann_info(i) for i in order]
+            row["mAP"] = eval_map(results, anns, iou_thr=0.5, mode="11points")["mAP"]
+            print(f"epoch {epoch}: VOC mAP {row['mAP']:.4f}", flush=True)
+        metrics.append(row)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ckpt = os.path.join(args.work_dir, f"{args.family}_final.ckpt")
+    save_checkpoint(ckpt, variables)
+    with open(os.path.join(args.work_dir, f"{args.family}_meta.json"), "w") as f:
+        json.dump({"family": args.family, "epochs": args.epochs,
+                   "dtype": args.dtype}, f)
+    with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(f"saved {ckpt}")
+
+
+if __name__ == "__main__":
+    main()
