@@ -30,12 +30,13 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     Returns (model, variables). Families: retinanet (MEH), ssd (MEH),
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
-    from .models import init_atss, init_faster_rcnn, init_fcos
+    from .models import init_atss, init_cascade_rcnn, init_faster_rcnn, init_fcos
 
     init_fn = {
         "retinanet": init_retinanet,
         "ssd": init_ssd,
         "faster_rcnn": init_faster_rcnn,
+        "cascade_rcnn": init_cascade_rcnn,
         "fcos": init_fcos,
         "atss": init_atss,
     }[_family(cfg)]
@@ -49,12 +50,13 @@ def make_eval_step_for(model, cfg):
     """Family-dispatched jitted eval step (NMSResult contract)."""
     from .engine.atss import make_atss_eval_step
     from .engine.fcos import make_fcos_eval_step
-    from .engine.two_stage import make_faster_rcnn_eval_step
+    from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
 
     fn = {
         "retinanet": make_eval_step,
         "ssd": make_eval_step,
         "faster_rcnn": make_faster_rcnn_eval_step,
+        "cascade_rcnn": make_cascade_eval_step,
         "fcos": make_fcos_eval_step,
         "atss": make_atss_eval_step,
     }[_family(cfg)]

@@ -12,6 +12,8 @@ from .train import TrainState, create_train_state, make_train_step, schedule_lr
 from .eval import make_eval_step, detections_to_per_class
 from .score import make_score_step
 from .two_stage import (
+    make_cascade_train_step,
+    make_cascade_eval_step,
     make_faster_rcnn_train_step,
     make_faster_rcnn_eval_step,
     make_proposal_fn,

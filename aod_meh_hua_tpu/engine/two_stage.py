@@ -122,28 +122,36 @@ class _RoISample(NamedTuple):
     bbox_targets: jnp.ndarray  # [S, 4] encoded deltas (pos rows)
     is_pos: jnp.ndarray        # [S] bool
     valid: jnp.ndarray         # [S] bool
+    is_gt: jnp.ndarray         # [S] bool (roi sourced from a gt row)
 
 
-def _roi_sample_single(key, props, prop_valid, gt_boxes, gt_labels, gt_valid, cfg):
+def _roi_sample_single(key, props, prop_valid, gt_boxes, gt_labels, gt_valid,
+                       cfg, pos_iou_thr=None, stds=None):
     """Assign + sample RoIs for one image (gt boxes prepended as
-    proposals, matching base_sampler.sample's cat order)."""
+    proposals, matching base_sampler.sample's cat order). `pos_iou_thr` /
+    `stds` override the rcnn defaults for cascade stages (where neg and
+    min_pos thresholds track the pos threshold)."""
     rc = cfg.rcnn
+    thr = rc.pos_iou_thr if pos_iou_thr is None else pos_iou_thr
+    stds = rc.target_stds if stds is None else stds
+    num_gt = gt_boxes.shape[0]
     cands = jnp.concatenate([gt_boxes, props], axis=0)
     cand_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
     assigned = max_iou_assign(
         cands, gt_boxes, gt_valid, anchor_valid=cand_valid,
-        pos_iou_thr=rc.pos_iou_thr, neg_iou_thr=rc.neg_iou_thr,
-        min_pos_iou=rc.min_pos_iou, match_low_quality=False,
+        pos_iou_thr=thr, neg_iou_thr=thr if pos_iou_thr is not None else rc.neg_iou_thr,
+        min_pos_iou=thr if pos_iou_thr is not None else rc.min_pos_iou,
+        match_low_quality=False,
     )
     s = random_sample_pos_neg(key, assigned, cand_valid, rc.sampler_num, rc.pos_fraction)
     rois = cands[s.inds]
     asg = assigned[s.inds]
-    gt_idx = jnp.clip(asg - 1, 0, gt_boxes.shape[0] - 1)
+    gt_idx = jnp.clip(asg - 1, 0, num_gt - 1)
     labels = jnp.where(s.is_pos, gt_labels[gt_idx], cfg.num_classes).astype(jnp.int32)
-    deltas = delta_encode(rois, gt_boxes[gt_idx], stds=rc.target_stds, eps=1e-6)
+    deltas = delta_encode(rois, gt_boxes[gt_idx], stds=stds, eps=1e-6)
     bbox_t = jnp.where(s.is_pos[:, None], deltas, 0.0)
     return _RoISample(rois, labels, jnp.where(s.valid, 1.0, 0.0), bbox_t,
-                      s.is_pos, s.valid)
+                      s.is_pos, s.valid, (s.inds < num_gt) & s.valid)
 
 
 def _extract_rois(cfg, feats, rois):
@@ -263,6 +271,147 @@ def make_faster_rcnn_eval_step(model, cfg) -> Callable:
             props[:, :, None, :], reg.reshape(b, p, c, 4),
             stds=cfg.rcnn.target_stds, max_shape=batch.img_shapes[:, None, :])
         boxes = boxes / batch.scale_factors[:, None, None, :]
+        fg = probs[..., :c] * prop_valid[..., None]
+        return batched_multiclass_nms(
+            boxes, fg, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands)
+
+    jfn = jax.jit(eval_step)
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(variables, batch: EvalBatch):
+        return jfn(variables, batch, anchors_arg.get(batch.images))
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Cascade R-CNN (reference mmdet/models/roi_heads/cascade_roi_head.py)
+# --------------------------------------------------------------------------
+
+
+def _roi_stage(m, roi_feats, stage):
+    return m.roi_forward(roi_feats, stage)
+
+
+def make_cascade_train_step(model, cfg, tx) -> Callable:
+    """Fused cascade train step: RPN + three progressively tighter RoI
+    stages; each stage re-assigns/re-samples on the previous stage's
+    refined (detached, gt-rows-excluded) boxes and its loss is scaled by
+    stage_loss_weights (cascade_roi_head.forward_train + refine_bboxes).
+    """
+    gen = cfg.build_anchor_generator()
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
+    proposal_fn = make_proposal_fn(cfg)
+
+    def loss_fn(params, batch_stats, batch: Batch, anchors, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        feats, rpn_cls, rpn_reg = model.apply(variables, images, method=_stage1)
+        b = rpn_cls.shape[0]
+
+        k_rpn, k_roi = jax.random.split(key)
+        t = jax.vmap(functools.partial(_rpn_targets_single, rpn_cfg=cfg.rpn),
+                     in_axes=(0, None, 0, 0, 0))(
+            jax.random.split(k_rpn, b), anchors,
+            batch.anchor_valid, batch.gt_boxes, batch.gt_valid)
+        num_total = jnp.maximum(t.num_samples.sum().astype(jnp.float32), 1.0)
+        loss_rpn_cls = (binary_cross_entropy_with_logits(
+            rpn_cls, t.is_pos.astype(jnp.float32), reduction="none")
+            * t.weights).sum() / num_total
+        loss_rpn_bbox = (jnp.abs(rpn_reg - t.bbox_targets)
+                         * t.is_pos[..., None]).sum() / num_total
+
+        props, _, prop_valid = proposal_fn(
+            jax.lax.stop_gradient(rpn_cls), jax.lax.stop_gradient(rpn_reg),
+            anchors, batch.img_shapes,
+            cfg.rpn.train_nms_pre, cfg.rpn.train_max_per_img)
+
+        total = loss_rpn_cls + loss_rpn_bbox
+        aux = {"loss_rpn_cls": loss_rpn_cls, "loss_rpn_bbox": loss_rpn_bbox}
+        num_pos_all = jnp.zeros((), jnp.float32)
+        for stage in range(cfg.num_stages):
+            k_roi, k = jax.random.split(k_roi)
+            stds = cfg.stage_stds[stage]
+            smp = jax.vmap(functools.partial(
+                _roi_sample_single, cfg=cfg,
+                pos_iou_thr=cfg.stage_pos_iou_thrs[stage], stds=stds))(
+                jax.random.split(k, b), props, prop_valid,
+                batch.gt_boxes, batch.gt_labels, batch.gt_valid)
+            roi_feats = _extract_rois(cfg, feats, smp.rois)
+            cls, reg = model.apply(variables, roi_feats, stage, method=_roi_stage)
+
+            labels = smp.labels.reshape(-1)
+            label_w = smp.label_weights.reshape(-1)
+            avg_cls = jnp.maximum((label_w > 0).sum().astype(jnp.float32), 1.0)
+            loss_cls = (softmax_cross_entropy(cls, labels, reduction="none")
+                        * label_w).sum() / avg_cls
+            pos = smp.is_pos.reshape(-1)
+            avg_reg = jnp.maximum(smp.valid.sum().astype(jnp.float32), 1.0)
+            loss_bbox = (jnp.abs(reg[:, 0] - smp.bbox_targets.reshape(-1, 4))
+                         * pos[:, None]).sum() / avg_reg
+            w = cfg.stage_loss_weights[stage]
+            total = total + w * (loss_cls + loss_bbox)
+            aux[f"s{stage}.loss_cls"] = loss_cls
+            aux[f"s{stage}.loss_bbox"] = loss_bbox
+            num_pos_all = num_pos_all + pos.sum()
+
+            if stage < cfg.num_stages - 1:
+                # refine for the next stage: decode sampled rois with this
+                # stage's (detached) class-agnostic deltas; drop gt rows
+                # (refine_bboxes' pos_is_gts exclusion)
+                d = jax.lax.stop_gradient(reg[:, 0]).reshape(b, -1, 4)
+                props = delta_decode(smp.rois, d, stds=stds,
+                                     max_shape=batch.img_shapes[:, None, :])
+                prop_valid = smp.valid & ~smp.is_gt
+
+        aux["loss"] = total
+        aux["num_pos"] = num_pos_all
+        return total, aux
+
+    def train_step(state: TrainState, batch: Batch, anchors, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, state.batch_stats, batch, anchors, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
+
+    jfn = jax.jit(train_step, donate_argnums=(0,))
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(state: TrainState, batch: Batch, key):
+        return jfn(state, batch, anchors_arg.get(batch.images), key)
+
+    return step
+
+
+def make_cascade_eval_step(model, cfg) -> Callable:
+    """Cascade inference (cascade_roi_head.simple_test): each stage
+    rescores and refines the boxes; the final detections use the LAST
+    stage's boxes under the MEAN of the three stages' softmax scores."""
+    gen = cfg.build_anchor_generator()
+    anchors_host = np.concatenate(gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
+    proposal_fn = make_proposal_fn(cfg)
+    t = cfg.test
+    c = cfg.num_classes
+
+    def eval_step(variables, batch: EvalBatch, anchors):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        feats, rpn_cls, rpn_reg = model.apply(variables, images, method=_stage1)
+        props, _, prop_valid = proposal_fn(
+            rpn_cls, rpn_reg, anchors, batch.img_shapes,
+            cfg.rpn.test_nms_pre, cfg.rpn.test_max_per_img)
+        b, p = props.shape[:2]
+        ms_scores = []
+        for stage in range(cfg.num_stages):
+            roi_feats = _extract_rois(cfg, feats, props)
+            cls, reg = model.apply(variables, roi_feats, stage, method=_roi_stage)
+            ms_scores.append(jax.nn.softmax(cls, axis=-1).reshape(b, p, c + 1))
+            # refine (final stage: these ARE the output boxes)
+            props = delta_decode(props, reg[:, 0].reshape(b, p, 4),
+                                 stds=cfg.stage_stds[stage],
+                                 max_shape=batch.img_shapes[:, None, :])
+        probs = sum(ms_scores) / cfg.num_stages
+        boxes = props / batch.scale_factors[:, None, :]
         fg = probs[..., :c] * prop_valid[..., None]
         return batched_multiclass_nms(
             boxes, fg, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands)

@@ -16,9 +16,12 @@ from .ssd_detector import MEHSSD, build_ssd, init_ssd
 from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
 from .atss import ATSS, ATSSHead, build_atss, init_atss
 from .two_stage import (
+    CascadeRCNN,
     FasterRCNN,
     RPNHead,
     Shared2FCBBoxHead,
+    build_cascade_rcnn,
     build_faster_rcnn,
+    init_cascade_rcnn,
     init_faster_rcnn,
 )

@@ -65,12 +65,14 @@ class Shared2FCBBoxHead(nn.Module):
     """Flattened 7x7x256 RoI feature -> fc1024 -> fc1024 -> (cls, reg).
 
     cls has C+1 channels (softmax, background last); reg is class-specific
-    [*, C, 4] (reg_class_agnostic=False). Init: Xavier-uniform shared fcs,
-    Normal(0.01) cls, Normal(0.001) reg (convfc_bbox_head.py init_cfg).
+    [*, C, 4] (reg_class_agnostic=False) or shared [*, 1, 4] (=True, the
+    cascade heads). Init: Xavier-uniform shared fcs, Normal(0.01) cls,
+    Normal(0.001) reg (convfc_bbox_head.py init_cfg).
     """
 
     num_classes: int
     fc_channels: int = 1024
+    reg_class_agnostic: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,10 +86,11 @@ class Shared2FCBBoxHead(nn.Module):
                              bias_init=zeros, dtype=self.dtype, name="shared_fc_1")(x))
         cls = nn.Dense(self.num_classes + 1, kernel_init=normal(0.01),
                        bias_init=zeros, dtype=self.dtype, name="fc_cls")(x)
-        reg = nn.Dense(self.num_classes * 4, kernel_init=normal(0.001),
+        reg_out = 4 if self.reg_class_agnostic else self.num_classes * 4
+        reg = nn.Dense(reg_out, kernel_init=normal(0.001),
                        bias_init=zeros, dtype=self.dtype, name="fc_reg")(x)
         return (cls.astype(jnp.float32),
-                reg.astype(jnp.float32).reshape(-1, self.num_classes, 4))
+                reg.astype(jnp.float32).reshape(-1, reg_out // 4, 4))
 
 
 class FasterRCNN(nn.Module):
@@ -128,6 +131,64 @@ class FasterRCNN(nn.Module):
         dummy = jnp.zeros((1, s, s, self.cfg.fpn_channels), jnp.float32)
         cls, reg = self.bbox_head(dummy)
         return rpn_cls, rpn_reg, cls, reg
+
+
+class CascadeRCNN(nn.Module):
+    """Cascade R-CNN: the Faster R-CNN trunk with a 3-stage RoI head
+    cascade (reference configs/_base_/models/cascade_rcnn_r50_fpn.py:
+    three Shared2FC heads with reg_class_agnostic=True, progressively
+    tighter assignment 0.5/0.6/0.7 and stds 0.1/0.05/0.033)."""
+
+    cfg: Any  # CascadeRCNNConfig
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
+        self.backbone = backbone_cls(
+            block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
+            stem_s2d=self.cfg.stem_s2d, dtype=dtype, name="backbone")
+        self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
+                        num_outs=len(self.cfg.rpn.anchor_strides),
+                        add_extra_convs="maxpool", dtype=dtype, name="neck")
+        self.rpn_head = RPNHead(num_anchors=self.cfg.rpn.num_anchors,
+                                feat_channels=self.cfg.fpn_channels,
+                                dtype=dtype, name="rpn_head")
+        self.bbox_heads = [
+            Shared2FCBBoxHead(num_classes=self.cfg.num_classes,
+                              fc_channels=self.cfg.rcnn.fc_channels,
+                              reg_class_agnostic=True,
+                              dtype=dtype, name=f"bbox_head_{i}")
+            for i in range(self.cfg.num_stages)
+        ]
+
+    def features(self, images: jnp.ndarray):
+        return self.neck(self.backbone(images))
+
+    def rpn(self, feats):
+        return self.rpn_head(feats)
+
+    def roi_forward(self, roi_feats: jnp.ndarray, stage: int):
+        return self.bbox_heads[stage](roi_feats)
+
+    def __call__(self, images: jnp.ndarray):
+        feats = self.features(images)
+        rpn_cls, rpn_reg = self.rpn_head(feats)
+        s = self.cfg.rcnn.roi_size
+        dummy = jnp.zeros((1, s, s, self.cfg.fpn_channels), jnp.float32)
+        outs = [h(dummy) for h in self.bbox_heads]
+        return rpn_cls, rpn_reg, outs
+
+
+def build_cascade_rcnn(cfg) -> CascadeRCNN:
+    return CascadeRCNN(cfg=cfg)
+
+
+def init_cascade_rcnn(cfg, rng: jax.Array):
+    model = build_cascade_rcnn(cfg)
+    h, w = cfg.canvas
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, dummy)
+    return model, variables
 
 
 def build_faster_rcnn(cfg) -> FasterRCNN:

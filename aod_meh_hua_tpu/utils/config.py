@@ -393,6 +393,26 @@ class FasterRCNNConfig:
 
 
 @dataclass(frozen=True)
+class CascadeRCNNConfig(FasterRCNNConfig):
+    """Cascade R-CNN R50-FPN (reference
+    configs/_base_/models/cascade_rcnn_r50_fpn.py): the Faster R-CNN
+    trunk with three progressively tighter RoI stages
+    (pos thr 0.5/0.6/0.7, stds 0.1/0.05/0.033, class-agnostic reg,
+    stage loss weights 1/0.5/0.25)."""
+
+    num_stages: int = 3
+    stage_pos_iou_thrs: Tuple[float, ...] = (0.5, 0.6, 0.7)
+    stage_stds: Tuple[Tuple[float, ...], ...] = (
+        (0.1, 0.1, 0.2, 0.2),
+        (0.05, 0.05, 0.1, 0.1),
+        (0.033, 0.033, 0.067, 0.067),
+    )
+    stage_loss_weights: Tuple[float, ...] = (1.0, 0.5, 0.25)
+
+    family = "cascade_rcnn"
+
+
+@dataclass(frozen=True)
 class FCOSConfig:
     """FCOS R50-FPN, VOC classes (the upstream anchor-free family the
     reference keeps registered; configs/fcos/*_r50_caffe_fpn_gn-head)."""
@@ -818,6 +838,25 @@ def tiny_fcos_config(**overrides) -> FCOSConfig:
     )
     base.update(overrides)
     return FCOSConfig(**base)
+
+
+def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:
+    """A shrunken Cascade R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return CascadeRCNNConfig(**base)
 
 
 def tiny_atss_config(**overrides) -> ATSSConfig:

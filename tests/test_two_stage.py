@@ -308,3 +308,82 @@ def test_faster_rcnn_overfits_and_detects(frcnn_setup):
         union = ((bx[2] - bx[0]) * (bx[3] - bx[1])
                  + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter)
         assert inter / union > 0.5, f"image {i}: IoU {inter / union}"
+
+
+# --------------------------------------------------------------------------
+# Cascade R-CNN (tiny, CPU)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cascade_setup(frcnn_setup):
+    from aod_meh_hua_tpu.engine import create_train_state
+    from aod_meh_hua_tpu.engine.two_stage import (
+        make_cascade_eval_step,
+        make_cascade_train_step,
+    )
+    from aod_meh_hua_tpu.models import init_cascade_rcnn
+    from aod_meh_hua_tpu.utils.config import TrainConfig, tiny_cascade_config
+
+    cfg = tiny_cascade_config()
+    model, variables = init_cascade_rcnn(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(lr=0.02, batch_size=2)
+    state, tx = create_train_state(model, variables, tcfg, frozen_stages=0)
+    train_step = make_cascade_train_step(model, cfg, tx)
+    eval_step = make_cascade_eval_step(model, cfg)
+    # reuse the faster-rcnn fixture's batch (same tiny geometry)
+    _, _, _, _, _, batch = frcnn_setup
+    return cfg, state, train_step, eval_step, batch
+
+
+def test_cascade_params_have_three_heads(cascade_setup):
+    cfg, state, *_ = cascade_setup
+    heads = [k for k in state.params if k.startswith("bbox_head_")]
+    assert sorted(heads) == ["bbox_head_0", "bbox_head_1", "bbox_head_2"]
+    # class-agnostic regression: 4 outputs, not 4C
+    assert state.params["bbox_head_0"]["fc_reg"]["kernel"].shape[-1] == 4
+
+
+def test_cascade_train_step_runs(cascade_setup):
+    cfg, state, train_step, eval_step, batch = cascade_setup
+    own = jax.tree.map(jnp.array, state)
+    _, aux = train_step(own, batch, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_rpn_cls", "s0.loss_cls", "s1.loss_cls",
+              "s2.loss_cls", "s0.loss_bbox", "s2.loss_bbox"):
+        assert np.isfinite(float(aux[k])), k
+    assert float(aux["num_pos"]) >= 2
+
+
+def test_cascade_overfits_and_detects(cascade_setup):
+    cfg, state, train_step, eval_step, batch = cascade_setup
+    state = jax.tree.map(jnp.array, state)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(120):
+        key, k = jax.random.split(key)
+        state, aux = train_step(state, batch, k)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+    from aod_meh_hua_tpu.engine import EvalBatch
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eb = EvalBatch(batch.images, batch.img_shapes,
+                   np.ones((2, 4), np.float32), np.ones(2, bool))
+    dets = eval_step(variables, eb)
+    boxes = np.asarray(dets.boxes)
+    labels = np.asarray(dets.labels)
+    scores = np.asarray(dets.scores)
+    valid = np.asarray(dets.valid)
+    for i, (gt, lab) in enumerate([(batch.gt_boxes[0, 0], 2), (batch.gt_boxes[1, 0], 4)]):
+        m = valid[i] & (scores[i] > 0.25)
+        assert m.any(), f"image {i}: no confident detection"
+        top = np.argmax(np.where(m, scores[i], -1))
+        assert labels[i][top] == lab
+        bx = boxes[i][top]
+        x1 = max(bx[0], gt[0]); y1 = max(bx[1], gt[1])
+        x2 = min(bx[2], gt[2]); y2 = min(bx[3], gt[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        union = ((bx[2] - bx[0]) * (bx[3] - bx[1])
+                 + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter)
+        assert inter / union > 0.5, f"image {i}: IoU {inter / union}"

@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--mini", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--s2d", action="store_true", help="space-to-depth stem")
+    ap.add_argument("--sub", action="store_true",
+                    help="also break the post-forward stage into "
+                         "maxconf / select / NMS / MI+HUA sub-stages "
+                         "(extra compiles)")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak (v5e bf16 = 197, fp32 ~ 49)")
     args = ap.parse_args()
@@ -98,6 +102,56 @@ def main():
     stages["backbone"] = timed(backbone, variables, images, args.iters)
     stages["backbone+fpn"] = timed(feats, variables, images, args.iters)
     stages["forward(all heads)"] = timed(fwd, variables, images, args.iters)
+    if args.sub:
+        import functools
+
+        import jax.numpy as jnp
+
+        from aod_meh_hua_tpu.engine.postprocess import make_candidate_selector
+        from aod_meh_hua_tpu.ops.nms import batched_multiclass_nms
+        from aod_meh_hua_tpu.ops.hua import object_membership
+
+        select, anchors_host = make_candidate_selector(cfg)
+        anchors_dev = jax.device_put(anchors_host)
+        t = cfg.test
+        shapes = batch.img_shapes
+
+        def to_maxconf(v, x):
+            cls_scores, *_ = model.apply(v, x)
+            p = jax.nn.softmax(cls_scores, axis=-1)
+            return p.reshape(p.shape[0], -1).max(axis=-1)
+
+        def to_select(v, x):
+            cls_scores, bbox_preds, lambdas = model.apply(v, x)
+            cand = select(anchors_dev, cls_scores, bbox_preds, lambdas, shapes)
+            return cand.scores, cand.boxes, cand.lambdas
+
+        def to_nms(v, x):
+            s, b_, l_ = to_select(v, x)
+            dets = batched_multiclass_nms(
+                b_, s[..., : cfg.num_fg_classes], t.score_thr, t.nms_iou_thr,
+                t.max_per_img, t.pre_nms_cands)
+            return dets.boxes, dets.scores
+
+        def to_member(v, x):
+            s, b_, l_ = to_select(v, x)
+            dets = batched_multiclass_nms(
+                b_, s[..., : cfg.num_fg_classes], t.score_thr, t.nms_iou_thr,
+                t.max_per_img, t.pre_nms_cands)
+            member = jax.vmap(functools.partial(
+                object_membership, score_thr=cfg.hua.obj_score_thr,
+                iou_thr=cfg.hua.memb_iou_thr))(b_, dets.boxes, dets.scores,
+                                               dets.valid)
+            return member.sum()
+
+        stages["forward+maxconf"] = timed(jax.jit(to_maxconf), variables,
+                                          images, args.iters)
+        stages["forward+select"] = timed(jax.jit(to_select), variables,
+                                         images, args.iters)
+        stages["forward+select+nms"] = timed(jax.jit(to_nms), variables,
+                                             images, args.iters)
+        stages["forward+...+membership"] = timed(jax.jit(to_member), variables,
+                                                 images, args.iters)
     stages["score step(full)"] = timed(
         lambda v, x: score(v, batch._replace(images=x)), variables, images,
         args.iters)
