@@ -28,6 +28,10 @@ class Candidates(NamedTuple):
     boxes: jnp.ndarray    # [B, K, 4] decoded, clipped to img shape
     lambdas: Optional[jnp.ndarray]  # [B, K] MEH lambda (None without MEH)
     bounds: Tuple[Tuple[int, int], ...]  # static per-level (start, end) in K
+    max_prob: Optional[jnp.ndarray] = None  # [B] max softmax prob over ALL
+    # anchors (getMaxConf) — computed inside the per-level loop from the
+    # pre-top-k probabilities so the score step needs no second full-map
+    # softmax pass
 
 
 def transform_scores(cls_scores: jnp.ndarray, family: str = "retinanet") -> jnp.ndarray:
@@ -52,6 +56,20 @@ def make_candidate_selector(cfg):
     nms_pre = cfg.test.nms_pre
     family = getattr(cfg, "family", "retinanet")
     num_fg = cfg.num_fg_classes
+    fast_topk = getattr(cfg.test, "fast_topk", False)
+
+    def _topk(max_scores: jnp.ndarray, k: int):
+        """Per-anchor ranking scores -> top-k indices. `fast_topk` uses
+        the TPU-optimized partial reduction (jax.lax.approx_max_k,
+        recall ~= 0.99 of the true top-k); exact lax.top_k (a full sort
+        at k=1000) otherwise. With max_per_img=100 survivors out of
+        1000 candidates, tail-rank misses are selection-neutral — the
+        parity tests run exact mode."""
+        if fast_topk:
+            _, idx = jax.lax.approx_max_k(max_scores, k, recall_target=0.99)
+            return idx
+        _, idx = jax.lax.top_k(max_scores, k)
+        return idx
 
     def select(
         all_anchors: jnp.ndarray,
@@ -62,15 +80,23 @@ def make_candidate_selector(cfg):
         use_topk: bool = True,
     ) -> Candidates:
         out_scores, out_boxes, out_lam = [], [], []
+        max_prob = None
         for li, (s0, s1) in enumerate(bounds):
             scores = transform_scores(cls_scores[:, s0:s1], family)
+            # getMaxConf rides along: the plain-softmax max per level. For
+            # the retina 'relu' transform scores = alphas / (1 + eps) with
+            # alphas already softmax-normalized, so the transformed max is
+            # the softmax max up to a constant 1/(1+eps) factor; for SSD
+            # scores ARE the softmax (incl. background).
+            lvl_max = scores.reshape(scores.shape[0], -1).max(axis=-1)
+            max_prob = lvl_max if max_prob is None else jnp.maximum(max_prob, lvl_max)
             preds = bbox_preds[:, s0:s1]
             anchors = all_anchors[s0:s1]
             lam = lambdas[:, s0:s1] if lambdas is not None else None
             n = s1 - s0
             if use_topk and n > nms_pre:
                 max_scores = scores[..., :num_fg].max(axis=-1)
-                _, idx = jax.lax.top_k(max_scores, nms_pre)  # [B, k]
+                idx = _topk(max_scores, nms_pre)  # [B, k]
                 scores = jnp.take_along_axis(scores, idx[..., None], axis=1)
                 preds = jnp.take_along_axis(preds, idx[..., None], axis=1)
                 anchors = anchors[idx]  # [B, k, 4]
@@ -89,7 +115,8 @@ def make_candidate_selector(cfg):
         cand_lam = jnp.concatenate(out_lam, axis=1) if out_lam else None
         b = topk_bounds if use_topk else tuple(bounds)
         return Candidates(
-            jnp.concatenate(out_scores, axis=1), jnp.concatenate(out_boxes, axis=1), cand_lam, b
+            jnp.concatenate(out_scores, axis=1), jnp.concatenate(out_boxes, axis=1),
+            cand_lam, b, max_prob,
         )
 
     return select, anchors_host

@@ -71,13 +71,17 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         images = prepare_images(batch.images, batch.img_shapes, cfg)
         cls_scores, bbox_preds, lambdas = model.apply(variables, images)
         cand = select(anchors, cls_scores, bbox_preds, lambdas, batch.img_shapes)
+        # getMaxConf comes from the selector's per-level max (no second
+        # full-map softmax pass; ranking-identical, see Candidates.max_prob)
+        maxconf = cand.max_prob
         # the reference pool sweep runs rescale=True (apis/test.py:115);
         # membership IoUs are scale-invariant but we match exactly
         boxes = cand.boxes / batch.scale_factors[:, None, :]
         cand = cand._replace(boxes=boxes)
         fg_scores = cand.scores[..., : cfg.num_fg_classes]
         dets = batched_multiclass_nms(
-            cand.boxes, fg_scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
+            cand.boxes, fg_scores, t.score_thr, t.nms_iou_thr, t.max_per_img,
+            t.pre_nms_cands, fast_topk=getattr(t, "fast_topk", False)
         )
         member = jax.vmap(
             functools.partial(object_membership, score_thr=hua.obj_score_thr, iou_thr=hua.memb_iou_thr)
@@ -91,7 +95,7 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
                 num_fg_classes=cfg.num_fg_classes,
             )
         )(cand.scores, cand.lambdas, member)
-        return unc, _maxconf(cls_scores)
+        return unc, maxconf
 
     def score_scale(variables, batch: EvalBatch, anchors,
                     key: Optional[jax.Array] = None):

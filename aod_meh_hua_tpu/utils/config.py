@@ -36,6 +36,11 @@ class TestCfg:
     nms_iou_thr: float = 0.5
     max_per_img: int = 100
     pre_nms_cands: int = 1000  # static candidate cap for fixed-shape NMS
+    # per-level top-k via jax.lax.approx_max_k (TPU partial reduction,
+    # recall ~0.99) instead of the exact full sort. Tail-rank candidate
+    # misses are selection-neutral in practice (100 NMS survivors of
+    # 1000); parity/eval tests run exact mode (default False).
+    fast_topk: bool = False
 
 
 @dataclass(frozen=True)
@@ -672,7 +677,18 @@ def load_reference_config(path: str):
             _warn(f"unrecognized top-level key {key!r} is ignored")
 
     model = ns.get("model", {})
-    family = "ssd" if "SSD" in str(model.get("type", "")).upper() else "retinanet"
+    mtype = str(model.get("type", "SSL_L_RetinaNet"))
+    if "SSD" in mtype.upper():
+        family = "ssd"
+    elif "RETINANET" in mtype.upper():
+        family = "retinanet"
+    else:
+        raise ValueError(
+            f"model.type {mtype!r}: the reference-config loader maps the two "
+            f"live AL configs (Config_RetinaNet.py / Config_SSD.py). Zoo "
+            f"families (FasterRCNN/CascadeRCNN/FCOS/ATSS) are configured via "
+            f"their dataclasses + tools/train_detector.py, not mmcv-style "
+            f"_base_-inheriting config files.")
     ag = _cfg_get(model, "bbox_head.anchor_generator", {}) or {}
     test_cfg = model.get("test_cfg", {}) or {}
     train_cfg = model.get("train_cfg", {}) or {}

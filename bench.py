@@ -153,6 +153,8 @@ def main():
                     help="decode thread-pool size for the e2e sweep")
     ap.add_argument("--mini", action="store_true",
                     help="tiny model (plumbing smoke test, not a benchmark)")
+    ap.add_argument("--fast-topk", action="store_true",
+                    help="approx_max_k candidate selection (recall ~0.99)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--train-iters", type=int, default=0,
                     help="also measure the fused train step (0 = skip; "
@@ -176,6 +178,8 @@ def main():
     cfg = RetinaNetConfig(compute_dtype=args.dtype)
     if args.mini:
         cfg = tiny_test_config(compute_dtype=args.dtype)
+    if args.fast_topk:
+        cfg = replace(cfg, test=replace(cfg.test, fast_topk=True))
     model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
     step = make_score_step(model, cfg)
 

@@ -180,3 +180,50 @@ def test_score_step_scale_pools(model_state, rng):
         step = make_score_step(model, cfg2)
         unc, _ = step(variables, _eval_batch(rng))
         assert np.isfinite(np.asarray(unc)).all()
+
+
+def test_selector_max_prob_matches_full_softmax(model_state, rng):
+    """Candidates.max_prob (getMaxConf fused into the selector) equals
+    the standalone full-map softmax max up to the relu-transform's
+    1/(1+eps) constant — ranking-identical by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from aod_meh_hua_tpu.engine.postprocess import make_candidate_selector
+
+    model, variables, _, _, _ = model_state
+    cfg = CFG
+    select, anchors_host = make_candidate_selector(cfg)
+    h, w = cfg.canvas
+    images = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+    shapes = jnp.asarray(np.tile([[h, w]], (2, 1)).astype(np.int32))
+    cls_scores, bbox_preds, lambdas = model.apply(variables, images)
+    cand = select(jnp.asarray(anchors_host), cls_scores, bbox_preds, lambdas, shapes)
+    want = jax.nn.softmax(cls_scores, axis=-1).reshape(2, -1).max(axis=-1)
+    np.testing.assert_allclose(np.asarray(cand.max_prob), np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_fast_topk_score_step(model_state, rng):
+    """test_cfg.fast_topk routes candidate selection through
+    approx_max_k; scores stay finite and close to the exact path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from aod_meh_hua_tpu.engine import EvalBatch, make_score_step
+
+    model, variables, _, _, _ = model_state
+    cfg = CFG
+    h, w = cfg.canvas
+    batch = EvalBatch(
+        jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32)),
+        jnp.asarray(np.tile([[h, w]], (2, 1)).astype(np.int32)),
+        jnp.ones((2, 4), np.float32), np.ones(2, bool))
+    u_exact, mc_exact = make_score_step(model, cfg)(variables, batch)
+    fcfg = dataclasses.replace(cfg, test=dataclasses.replace(cfg.test, fast_topk=True))
+    u_fast, mc_fast = make_score_step(model, fcfg)(variables, batch)
+    assert np.isfinite(np.asarray(u_fast)).all()
+    np.testing.assert_allclose(np.asarray(mc_fast), np.asarray(mc_exact), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_exact),
+                               rtol=0.05, atol=1e-5)

@@ -151,6 +151,38 @@ def test_bf16_scoring_preserves_fp32_acquisition(trained):
     assert abs(mAP16 - metrics[0]["mAP"]) < 0.05, (mAP16, metrics[0]["mAP"])
 
 
+def test_fast_topk_acquisition_parity(trained):
+    """test_cfg.fast_topk (approx_max_k candidate selection) preserves
+    the trained model's acquisition ranking vs the exact path."""
+    import dataclasses
+
+    import jax
+
+    from aod_meh_hua_tpu.al.uncertainty import score_pool
+    from aod_meh_hua_tpu.data import EvalLoader
+    from aod_meh_hua_tpu.engine.checkpoint import cycle_ckpt_path, load_checkpoint
+    from aod_meh_hua_tpu.models import build_retinanet, init_retinanet
+
+    driver, cfg, pipe, paths, metrics = trained
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+    variables = load_checkpoint(
+        cycle_ckpt_path(paths.save_dir, "retinanet_meh", 0, 20), variables)
+    fcfg = dataclasses.replace(cfg, test=dataclasses.replace(cfg.test, fast_topk=True))
+    fmodel = build_retinanet(fcfg)
+
+    n = len(driver.pool)
+    loader = EvalLoader(driver.pool, np.arange(n), pipe, batch_size=4)
+    u_exact, mc_exact = score_pool(model, variables, cfg, loader, n)
+    loader = EvalLoader(driver.pool, np.arange(n), pipe, batch_size=4)
+    u_fast, mc_fast = score_pool(fmodel, variables, fcfg, loader, n)
+    # exact zeros (the zeroRate pool) must be preserved exactly
+    np.testing.assert_array_equal(u_exact == 0, u_fast == 0)
+    np.testing.assert_allclose(u_fast, u_exact, rtol=0.05, atol=1e-4)
+    np.testing.assert_allclose(mc_fast, mc_exact, rtol=1e-3)
+    # top-4 acquisition identical
+    np.testing.assert_array_equal(np.argsort(u_exact)[-4:], np.argsort(u_fast)[-4:])
+
+
 def test_hua_prefers_object_images(trained):
     """With a trained model, HUA scores object images > 0 and (near-)
     objectless images exactly 0 — the semantics zeroRate relies on."""

@@ -123,3 +123,56 @@ def test_cli_dp_selection_parity(mini_voc, tmp_path):
         assert r.returncode == 0, r.stderr[-2000:]
         outs[tag] = np.load(os.path.join(work, "X_L_1.npy"))
     np.testing.assert_array_equal(outs["d1"], outs["d8"])
+
+
+def test_zoo_families_train_on_mesh():
+    """Every zoo family's fused train step compiles + executes with the
+    GLOBAL batch sharded over the 8-device data mesh and params
+    replicated (the tools/train_detector.py --num-devices path)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aod_meh_hua_tpu.api import init_detector
+    from aod_meh_hua_tpu.engine import Batch, create_train_state
+    from aod_meh_hua_tpu.engine.atss import make_atss_train_step
+    from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
+    from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
+    from aod_meh_hua_tpu.ops import anchor_valid_flags
+    from aod_meh_hua_tpu.parallel import make_mesh, replicate, shard_batch
+    from aod_meh_hua_tpu.utils.config import (
+        TrainConfig, tiny_atss_config, tiny_faster_rcnn_config, tiny_fcos_config,
+    )
+
+    mesh = make_mesh(8)
+    tcfg = TrainConfig(lr=0.01, batch_size=8)
+    rng = np.random.RandomState(0)
+    cases = [
+        (tiny_faster_rcnn_config(), make_faster_rcnn_train_step, True),
+        (tiny_fcos_config(), make_fcos_train_step, False),
+        (tiny_atss_config(), make_atss_train_step, False),
+    ]
+    for cfg, make_step, needs_key in cases:
+        model, variables = init_detector(cfg, seed=0)
+        state, tx = create_train_state(model, variables, tcfg, frozen_stages=0)
+        state = replicate(state, mesh)
+        step = make_step(model, cfg, tx)
+        h, w = cfg.canvas
+        g = cfg.max_gt
+        b = 8
+        images = np.full((b, h, w, 3), 0.1, np.float32)
+        boxes = np.zeros((b, g, 4), np.float32)
+        boxes[:, 0] = [20, 10, 44, 34]
+        labels = np.zeros((b, g), np.int32)
+        gt_valid = np.zeros((b, g), bool)
+        gt_valid[:, 0] = True
+        shapes = np.tile([[h, w]], (b, 1)).astype(np.int32)
+        av = anchor_valid_flags(cfg.build_anchor_generator(),
+                                cfg.featmap_sizes(), shapes)
+        if cfg.family == "fcos":
+            av = np.ones((b, 1), bool)
+        batch = shard_batch(
+            Batch(images, boxes, labels, gt_valid, av, shapes), mesh)
+        if needs_key:
+            state, aux = step(state, batch, jax.random.PRNGKey(0))
+        else:
+            state, aux = step(state, batch)
+        assert np.isfinite(float(np.asarray(aux["loss"]))), cfg.family

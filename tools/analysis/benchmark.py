@@ -17,7 +17,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", default="retinanet", choices=["retinanet", "ssd"])
+    ap.add_argument("--family", default="retinanet",
+                choices=["retinanet", "ssd", "faster_rcnn",
+                         "cascade_rcnn", "fcos", "atss"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
@@ -28,15 +30,19 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    from aod_meh_hua_tpu.api import init_detector
+    from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
     from aod_meh_hua_tpu.engine import EvalBatch
-    from aod_meh_hua_tpu.engine.eval import make_eval_step
-    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig
+    from aod_meh_hua_tpu.utils.config import (
+        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
+        RetinaNetConfig, SSDConfig,
+    )
 
-    cfg = (SSDConfig(compute_dtype=args.dtype) if args.family == "ssd"
-           else RetinaNetConfig(compute_dtype=args.dtype))
+    cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
+           "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
+           "fcos": FCOSConfig, "atss": ATSSConfig}[args.family](
+        compute_dtype=args.dtype)
     model, variables = init_detector(cfg)
-    step = make_eval_step(model, cfg)
+    step = make_eval_step_for(model, cfg)
 
     h, w = cfg.canvas
     rng = np.random.RandomState(0)

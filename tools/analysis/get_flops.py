@@ -14,7 +14,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", default="retinanet", choices=["retinanet", "ssd"])
+    ap.add_argument("--family", default="retinanet",
+                choices=["retinanet", "ssd", "faster_rcnn",
+                         "cascade_rcnn", "fcos", "atss"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -24,10 +26,15 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from aod_meh_hua_tpu.api import init_detector
-    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig
+    from aod_meh_hua_tpu.utils.config import (
+        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
+        RetinaNetConfig, SSDConfig,
+    )
     from aod_meh_hua_tpu.utils.profiling import compiled_cost
 
-    cfg = SSDConfig() if args.family == "ssd" else RetinaNetConfig()
+    cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
+           "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
+           "fcos": FCOSConfig, "atss": ATSSConfig}[args.family]()
     model, variables = init_detector(cfg)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     h, w = cfg.canvas

@@ -16,7 +16,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", default="retinanet", choices=["retinanet", "ssd"])
+    ap.add_argument("--family", default="retinanet",
+                    choices=["retinanet", "ssd", "faster_rcnn", "cascade_rcnn",
+                             "fcos", "atss"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default="detector_export.bin")
     ap.add_argument("--batch", type=int, default=1)
@@ -29,11 +31,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    from aod_meh_hua_tpu.api import init_detector
+    from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
     from aod_meh_hua_tpu.engine import EvalBatch
-    from aod_meh_hua_tpu.engine.eval import make_eval_step
     from aod_meh_hua_tpu.ops.nms import NMSResult
-    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, SSDConfig
+    from aod_meh_hua_tpu.utils.config import (
+        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
+        RetinaNetConfig, SSDConfig,
+    )
 
     # namedtuple pytrees must be registered for serialization
     jexport.register_namedtuple_serialization(
@@ -41,9 +45,11 @@ def main():
     jexport.register_namedtuple_serialization(
         NMSResult, serialized_name="aod_meh_hua_tpu.NMSResult")
 
-    cfg = SSDConfig() if args.family == "ssd" else RetinaNetConfig()
+    cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
+           "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
+           "fcos": FCOSConfig, "atss": ATSSConfig}[args.family]()
     model, variables = init_detector(cfg, checkpoint=args.checkpoint)
-    step = make_eval_step(model, cfg)
+    step = make_eval_step_for(model, cfg)
 
     h, w = cfg.canvas
     b = args.batch

@@ -47,6 +47,10 @@ def parse_args():
     ap.add_argument("--mini", action="store_true", help="tiny model smoke mode")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-validate", action="store_true")
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="data-parallel over a 'data' mesh (params "
+                         "replicated, GLOBAL batch sharded) — the "
+                         "reference's DDP mode for its upstream families")
     return ap.parse_args()
 
 
@@ -114,6 +118,18 @@ def main():
                                    frozen_stages=cfg.frozen_stages)
     step = make_steps(args.family, model, cfg, tx)
 
+    mesh = None
+    shard = lambda b: b
+    if args.num_devices and args.num_devices > 1:
+        from aod_meh_hua_tpu.parallel import make_mesh, replicate, shard_batch
+
+        if args.batch_size % args.num_devices:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide by "
+                             f"--num-devices {args.num_devices}")
+        mesh = make_mesh(args.num_devices)
+        state = replicate(state, mesh)
+        shard = lambda b: shard_batch(b, mesh)
+
     from aod_meh_hua_tpu.data.voc import VOC_CLASSES
 
     # shrunken --mini heads have < 20 classes: restrict the dataset to the
@@ -151,7 +167,7 @@ def main():
         losses = []
         for orientation, batch in loader:
             key, k = jax.random.split(key)
-            state, aux = step(state, batch, k)
+            state, aux = step(state, shard(batch), k)
             losses.append(aux["loss"])
         mean_loss = float(np.mean([float(np.asarray(l)) for l in losses]))
         print(f"epoch {epoch}: {len(losses)} iters, mean loss {mean_loss:.4f}, "
