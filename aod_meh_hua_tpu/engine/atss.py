@@ -49,8 +49,9 @@ def _anchor_centerness(anchors: jnp.ndarray, gts: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.clip((lr_min / lr_max) * (tb_min / tb_max), 0.0, None))
 
 
-def _targets_single(anchors, gt_boxes, gt_labels, gt_valid, cfg, bounds):
-    assigned = atss_assign(anchors, bounds, gt_boxes, gt_valid, topk=cfg.atss_topk)
+def _targets_single(anchors, anchor_valid, gt_boxes, gt_labels, gt_valid, cfg, bounds):
+    assigned = atss_assign(anchors, bounds, gt_boxes, gt_valid,
+                           topk=cfg.atss_topk, anchor_valid=anchor_valid)
     pos = assigned > 0
     gt_idx = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
     matched = gt_boxes[gt_idx]
@@ -66,14 +67,15 @@ def make_atss_loss_fn(model, cfg):
     bounds = tuple(cfg.level_bounds())
     targets_fn = jax.vmap(
         functools.partial(_targets_single, cfg=cfg, bounds=bounds),
-        in_axes=(None, 0, 0, 0))
+        in_axes=(None, 0, 0, 0, 0))
 
     def loss_fn(params, batch_stats, batch: Batch, anchors):
         variables = {"params": params, "batch_stats": batch_stats}
         images = prepare_images(batch.images, batch.img_shapes, cfg)
         cls_scores, deltas, centerness = model.apply(variables, images)
         labels, bbox_t, ctr_t, pos = targets_fn(
-            anchors, batch.gt_boxes, batch.gt_labels, batch.gt_valid)
+            anchors, batch.anchor_valid, batch.gt_boxes, batch.gt_labels,
+            batch.gt_valid)
         num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
 
         elem = sigmoid_focal_loss_elementwise(

@@ -15,6 +15,7 @@ from .ssd_head import SSDMEHHead
 from .ssd_detector import MEHSSD, build_ssd, init_ssd
 from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
 from .atss import ATSS, ATSSHead, build_atss, init_atss
+from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
 from .two_stage import (
     CascadeRCNN,
     FasterRCNN,

@@ -20,6 +20,8 @@ from .losses import (
 )
 from .losses import (
     binary_cross_entropy_with_logits,
+    quality_focal_loss,
+    distribution_focal_loss,
     iou_loss,
     giou_loss,
     diou_loss,

@@ -92,6 +92,7 @@ def atss_assign(
     gt_boxes: jnp.ndarray,
     gt_valid: jnp.ndarray,
     topk: int = 9,
+    anchor_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Adaptive Training Sample Selection (reference
     mmdet/core/bbox/assigners/atss_assigner.py:assign):
@@ -115,6 +116,11 @@ def atss_assign(
     gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
     dist = jnp.sqrt((acx[:, None] - gcx[None, :]) ** 2
                     + (acy[:, None] - gcy[None, :]) ** 2)
+    if anchor_valid is not None:
+        # pad-region anchors can neither be candidates nor positives
+        # (the reference assigns on the valid_flags subset)
+        dist = jnp.where(anchor_valid[:, None], dist, jnp.inf)
+        overlaps = jnp.where(anchor_valid[:, None], overlaps, -1.0)
 
     cand = jnp.zeros(overlaps.shape, bool)
     g_idx = jnp.arange(num_gt)[None, :]

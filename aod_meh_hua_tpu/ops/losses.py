@@ -206,6 +206,50 @@ def binary_cross_entropy_with_logits(
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 
 
+def quality_focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    quality: jnp.ndarray,
+    beta: float = 2.0,
+) -> jnp.ndarray:
+    """Quality Focal Loss (reference mmdet/models/losses/gfocal_loss.py:11):
+    every (anchor, class) is supervised toward 0 quality with a
+    sigmoid^beta modulator; positive anchors' OWN class entry is instead
+    supervised toward its IoU quality score with |q - sigmoid|^beta.
+    logits [N, C]; labels [N] ints (num_classes = background);
+    quality [N] IoU scores (0 for negatives). Returns [N] (summed over C).
+    """
+    sig = jax.nn.sigmoid(logits)
+    bce0 = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    loss = bce0 * sig ** beta  # BCE(logits, 0) * sigmoid^beta
+    c = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, c, dtype=logits.dtype)  # bg -> zeros
+    q = quality[..., None]
+    bce_q = (jnp.maximum(logits, 0.0) - logits * q
+             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    pos_loss = jnp.abs(q - sig) ** beta * bce_q
+    return jnp.where(onehot > 0, pos_loss, loss).sum(axis=-1)
+
+
+def distribution_focal_loss(
+    dist_logits: jnp.ndarray,
+    target: jnp.ndarray,
+) -> jnp.ndarray:
+    """Distribution Focal Loss (gfocal_loss.py:56): cross-entropy on the
+    two integer bins bracketing the continuous target, weighted by
+    proximity. dist_logits [N, n+1]; target [N] float in [0, n]."""
+    n_bins = dist_logits.shape[-1]
+    left = jnp.floor(target).astype(jnp.int32)
+    left = jnp.clip(left, 0, n_bins - 2)
+    right = left + 1
+    wl = right.astype(target.dtype) - target
+    wr = target - left.astype(target.dtype)
+    log_p = jax.nn.log_softmax(dist_logits, axis=-1)
+    ce_l = -jnp.take_along_axis(log_p, left[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(log_p, right[..., None], axis=-1)[..., 0]
+    return ce_l * wl + ce_r * wr
+
+
 # --- IoU-family regression losses -----------------------------------------
 # Behavioral parity: mmdet/models/losses/iou_loss.py (IoULoss linear=False,
 # GIoULoss, DIoULoss, CIoULoss — the upstream family registered by the

@@ -562,6 +562,19 @@ class ATSSConfig:
 
 
 @dataclass(frozen=True)
+class GFLConfig(ATSSConfig):
+    """GFL R50-FPN (reference configs/gfl/gfl_r50_fpn_1x_coco.py): ATSS
+    geometry + quality focal loss (beta 2) + distribution regression
+    over {0..reg_max} with DFL weight 0.25 and GIoU weight 2."""
+
+    reg_max: int = 16
+    qfl_beta: float = 2.0
+    dfl_loss_weight: float = 0.25
+
+    family = "gfl"
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimizer/schedule (Config_RetinaNet.py:89-94 + driver overrides)."""
 
@@ -854,6 +867,24 @@ def tiny_fcos_config(**overrides) -> FCOSConfig:
     )
     base.update(overrides)
     return FCOSConfig(**base)
+
+
+def tiny_gfl_config(**overrides) -> GFLConfig:
+    """A shrunken GFL for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        reg_max=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return GFLConfig(**base)
 
 
 def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:

@@ -29,7 +29,7 @@ import numpy as np
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
-                    choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss"])
+                    choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl"])
     ap.add_argument("--voc07", required=True, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--work-dir", required=True)
@@ -57,15 +57,15 @@ def parse_args():
 def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        tiny_atss_config, tiny_cascade_config, tiny_faster_rcnn_config,
-        tiny_fcos_config,
+        GFLConfig, tiny_atss_config, tiny_cascade_config,
+        tiny_faster_rcnn_config, tiny_fcos_config, tiny_gfl_config,
     )
 
     full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
-            "fcos": FCOSConfig, "atss": ATSSConfig}
+            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
-            "atss": tiny_atss_config}
+            "atss": tiny_atss_config, "gfl": tiny_gfl_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -79,7 +79,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.two_stage import make_cascade_train_step
 
         return make_cascade_train_step(model, cfg, tx)
-    if family == "fcos":
+    if family == "gfl":
+        from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
+
+        inner = make_gfl_train_step(model, cfg, tx)
+    elif family == "fcos":
         from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
 
         inner = make_fcos_train_step(model, cfg, tx)
