@@ -30,8 +30,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     Returns (model, variables). Families: retinanet (MEH), ssd (MEH),
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
-    from .models import (init_atss, init_cascade_rcnn,
-                         init_faster_rcnn, init_fcos, init_gfl)
+    from .models import (init_atss, init_cascade_rcnn, init_faster_rcnn,
+                         init_fcos, init_gfl, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -41,6 +41,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "fcos": init_fcos,
         "atss": init_atss,
         "gfl": init_gfl,
+        "yolov3": init_yolov3,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -52,6 +53,7 @@ def make_eval_step_for(model, cfg):
     """Family-dispatched jitted eval step (NMSResult contract)."""
     from .engine.atss import make_atss_eval_step
     from .engine.gfl import make_gfl_eval_step
+    from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
     from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
 
@@ -63,6 +65,7 @@ def make_eval_step_for(model, cfg):
         "fcos": make_fcos_eval_step,
         "atss": make_atss_eval_step,
         "gfl": make_gfl_eval_step,
+        "yolov3": make_yolo_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

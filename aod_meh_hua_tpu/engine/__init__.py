@@ -21,3 +21,4 @@ from .two_stage import (
 from .fcos import make_fcos_train_step, make_fcos_eval_step
 from .atss import make_atss_train_step, make_atss_eval_step
 from .gfl import make_gfl_train_step, make_gfl_eval_step
+from .yolo import make_yolo_train_step, make_yolo_eval_step

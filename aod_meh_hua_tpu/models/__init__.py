@@ -16,6 +16,7 @@ from .ssd_detector import MEHSSD, build_ssd, init_ssd
 from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
 from .atss import ATSS, ATSSHead, build_atss, init_atss
 from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
+from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_yolov3
 from .two_stage import (
     CascadeRCNN,
     FasterRCNN,

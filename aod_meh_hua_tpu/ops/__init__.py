@@ -7,7 +7,8 @@ fixed-shape tensor programs that XLA can fuse and tile onto the MXU/VPU.
 """
 
 from .bbox import bbox_overlaps, delta_encode, delta_decode, bbox_area
-from .anchors import AnchorGenerator, SSDAnchorGenerator, anchor_valid_flags
+from .anchors import (AnchorGenerator, SSDAnchorGenerator,
+                      YOLOAnchorGenerator, anchor_valid_flags)
 from .assigner import max_iou_assign, anchor_targets, atss_assign
 from .losses import (
     sigmoid_focal_loss,

@@ -245,3 +245,51 @@ def anchor_valid_flags(
         per_level = generator.valid_flags(featmap_sizes, (int(hw[0]), int(hw[1])))
         flags.append(np.concatenate(per_level))
     return np.stack(flags)
+
+
+@dataclass
+class YOLOAnchorGenerator:
+    """YOLO anchor generator (reference
+    mmdet/core/anchor/anchor_generator.py YOLOAnchorGenerator): per-level
+    hand-tuned (w, h) base sizes, centers at (cell + 0.5) * stride.
+    Level order is coarse-to-fine (strides 32, 16, 8), matching the
+    YOLOV3 neck/head output order."""
+
+    base_sizes: Sequence[Sequence[Tuple[int, int]]] = (
+        ((116, 90), (156, 198), (373, 326)),
+        ((30, 61), (62, 45), (59, 119)),
+        ((10, 13), (16, 30), (33, 23)),
+    )
+    strides: Sequence[int] = (32, 16, 8)
+
+    def __post_init__(self):
+        self.strides = [(s, s) if isinstance(s, int) else tuple(s) for s in self.strides]
+        self.base_anchors: List[np.ndarray] = []
+        for (sw, sh), sizes in zip(self.strides, self.base_sizes):
+            cx, cy = 0.5 * sw, 0.5 * sh
+            base = np.array(
+                [[cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2] for (w, h) in sizes],
+                np.float32)
+            self.base_anchors.append(base)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+    @property
+    def num_base_anchors(self) -> List[int]:
+        return [b.shape[0] for b in self.base_anchors]
+
+    def grid_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[np.ndarray]:
+        return [
+            _grid_anchors(self.base_anchors[i], featmap_sizes[i], self.strides[i])
+            for i in range(self.num_levels)
+        ]
+
+    def valid_flags(
+        self, featmap_sizes: Sequence[Tuple[int, int]], pad_shape: Tuple[int, int]
+    ) -> List[np.ndarray]:
+        return [
+            _valid_flags(featmap_sizes[i], self.strides[i], pad_shape, self.num_base_anchors[i])
+            for i in range(self.num_levels)
+        ]

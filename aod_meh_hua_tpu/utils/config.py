@@ -575,6 +575,75 @@ class GFLConfig(ATSSConfig):
 
 
 @dataclass(frozen=True)
+class YOLOConfig:
+    """YOLOv3 Darknet-53 608x608 (reference
+    configs/yolo/yolov3_d53_mstrain-608_273e_coco.py, VOC classes)."""
+
+    num_classes: int = 20
+    input_size: int = 608
+    block_counts: Tuple[int, ...] = (1, 2, 8, 8, 4)
+    stem_width: int = 32
+    frozen_stages: int = 0  # YOLO trains everything (incl. BN)
+    neck_channels: Tuple[int, ...] = (512, 256, 128)
+    head_channels: Tuple[int, ...] = (1024, 512, 256)
+    # coarse-to-fine anchor sizes / strides (32, 16, 8)
+    base_sizes: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+        ((116, 90), (156, 198), (373, 326)),
+        ((30, 61), (62, 45), (59, 119)),
+        ((10, 13), (16, 30), (33, 23)),
+    )
+    strides: Tuple[int, ...] = (32, 16, 8)
+    # GridAssigner thresholds
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.0
+    # loss weights (loss_xy / loss_wh scale 2)
+    xy_loss_weight: float = 2.0
+    wh_loss_weight: float = 2.0
+    max_gt: int = 64
+    # img_norm_cfg: mean 0, std 255, rgb
+    img_mean: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    img_std: Tuple[float, ...] = (255.0, 255.0, 255.0)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    conf_thr: float = 0.005
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.45, max_per_img=100))
+
+    family = "yolov3"
+
+    @property
+    def canvas(self) -> Tuple[int, int]:
+        return (self.input_size, self.input_size)
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def for_orientation(self, orientation: str) -> "YOLOConfig":
+        return self  # square canvas
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import YOLOAnchorGenerator
+
+        return YOLOAnchorGenerator(base_sizes=self.base_sizes, strides=self.strides)
+
+    def featmap_sizes(self):
+        s = self.input_size
+        return [(s // st, s // st) for st in self.strides]
+
+    def level_bounds(self):
+        gen = self.build_anchor_generator()
+        bounds, off = [], 0
+        for (h, w), a in zip(self.featmap_sizes(), gen.num_base_anchors):
+            n = h * w * a
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimizer/schedule (Config_RetinaNet.py:89-94 + driver overrides)."""
 
@@ -885,6 +954,28 @@ def tiny_gfl_config(**overrides) -> GFLConfig:
     )
     base.update(overrides)
     return GFLConfig(**base)
+
+
+def tiny_yolo_config(**overrides) -> YOLOConfig:
+    """A shrunken YOLOv3 for fast CPU unit tests."""
+    base = dict(
+        input_size=64,
+        block_counts=(1, 1, 1, 1, 1),
+        stem_width=8,
+        neck_channels=(32, 16, 8),
+        head_channels=(32, 16, 8),
+        base_sizes=(
+            ((32, 24), (24, 32), (40, 40)),
+            ((16, 12), (12, 16), (20, 20)),
+            ((8, 6), (6, 8), (10, 10)),
+        ),
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20,
+                     nms_iou_thr=0.45),
+    )
+    base.update(overrides)
+    return YOLOConfig(**base)
 
 
 def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:

@@ -29,7 +29,8 @@ import numpy as np
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
-                    choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl"])
+                    choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
+                             "yolov3"])
     ap.add_argument("--voc07", required=True, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--work-dir", required=True)
@@ -57,15 +58,18 @@ def parse_args():
 def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        GFLConfig, tiny_atss_config, tiny_cascade_config,
+        GFLConfig, YOLOConfig, tiny_atss_config, tiny_cascade_config,
         tiny_faster_rcnn_config, tiny_fcos_config, tiny_gfl_config,
+        tiny_yolo_config,
     )
 
     full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
-            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig}
+            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
+            "yolov3": YOLOConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
-            "atss": tiny_atss_config, "gfl": tiny_gfl_config}
+            "atss": tiny_atss_config, "gfl": tiny_gfl_config,
+            "yolov3": tiny_yolo_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -79,7 +83,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.two_stage import make_cascade_train_step
 
         return make_cascade_train_step(model, cfg, tx)
-    if family == "gfl":
+    if family == "yolov3":
+        from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
+
+        inner = make_yolo_train_step(model, cfg, tx)
+    elif family == "gfl":
         from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
 
         inner = make_gfl_train_step(model, cfg, tx)
@@ -152,11 +160,18 @@ def main():
         if os.path.exists(test_txt):
             val = VOCDataset(test_txt, args.voc07, test_mode=True, classes=classes)
 
-    pipe = PipelineConfig(canvas=cfg.canvas, device_normalize=True)
-    if args.mini:
+    mean = getattr(cfg, "img_mean", (123.675, 116.28, 103.53))
+    std = getattr(cfg, "img_std", (58.395, 57.12, 57.375))
+    pipe = PipelineConfig(canvas=cfg.canvas, mean=mean, std=std,
+                          device_normalize=True)
+    if cfg.canvas[0] == cfg.canvas[1]:
+        # square-canvas families (yolov3): keep-ratio resize INTO the square
+        pipe = PipelineConfig(img_scale=cfg.canvas, canvas=cfg.canvas,
+                              mean=mean, std=std, device_normalize=True)
+    elif args.mini:
         # tiny canvases are (64, 128): keep-ratio scale that always fits
         pipe = PipelineConfig(img_scale=(128, 60), canvas=cfg.canvas,
-                              device_normalize=True)
+                              mean=mean, std=std, device_normalize=True)
     loader = TrainLoader(train_set, np.arange(len(train_set)), cfg, pipe,
                          batch_size=args.batch_size, seed=args.seed)
     eval_steps = {}
