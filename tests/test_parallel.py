@@ -135,11 +135,14 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine import Batch, create_train_state
     from aod_meh_hua_tpu.engine.atss import make_atss_train_step
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
+    from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
     from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
+    from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
     from aod_meh_hua_tpu.ops import anchor_valid_flags
     from aod_meh_hua_tpu.parallel import make_mesh, replicate, shard_batch
     from aod_meh_hua_tpu.utils.config import (
-        TrainConfig, tiny_atss_config, tiny_faster_rcnn_config, tiny_fcos_config,
+        TrainConfig, tiny_atss_config, tiny_faster_rcnn_config,
+        tiny_fcos_config, tiny_gfl_config, tiny_yolo_config,
     )
 
     mesh = make_mesh(8)
@@ -149,6 +152,8 @@ def test_zoo_families_train_on_mesh():
         (tiny_faster_rcnn_config(), make_faster_rcnn_train_step, True),
         (tiny_fcos_config(), make_fcos_train_step, False),
         (tiny_atss_config(), make_atss_train_step, False),
+        (tiny_gfl_config(), make_gfl_train_step, False),
+        (tiny_yolo_config(), make_yolo_train_step, False),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)
