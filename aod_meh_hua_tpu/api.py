@@ -30,8 +30,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     Returns (model, variables). Families: retinanet (MEH), ssd (MEH),
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
-    from .models import (init_atss, init_cascade_rcnn, init_faster_rcnn,
-                         init_fcos, init_gfl, init_yolov3)
+    from .models import (init_atss, init_cascade_rcnn, init_detr,
+                         init_faster_rcnn, init_fcos, init_gfl, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -42,6 +42,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "atss": init_atss,
         "gfl": init_gfl,
         "yolov3": init_yolov3,
+        "detr": init_detr,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -52,6 +53,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
 def make_eval_step_for(model, cfg):
     """Family-dispatched jitted eval step (NMSResult contract)."""
     from .engine.atss import make_atss_eval_step
+    from .engine.detr import make_detr_eval_step
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
@@ -66,6 +68,7 @@ def make_eval_step_for(model, cfg):
         "atss": make_atss_eval_step,
         "gfl": make_gfl_eval_step,
         "yolov3": make_yolo_eval_step,
+        "detr": make_detr_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

@@ -108,7 +108,12 @@ def schedule_lr(tcfg: TrainConfig, outer_epoch: int, inner_epoch: int) -> float:
 def create_train_state(model, variables, tcfg: TrainConfig, frozen_stages: int = 1):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(tcfg, params, frozen_stages)
+    if getattr(tcfg, "optimizer", "sgd") == "adamw":
+        from .detr import make_detr_optimizer
+
+        tx = make_detr_optimizer(tcfg, params, frozen_stages)
+    else:
+        tx = make_optimizer(tcfg, params, frozen_stages)
     opt_state = tx.init(params)
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
 

@@ -38,6 +38,7 @@ from .points import (
     distance2bbox,
 )
 from .dirichlet import dirichlet_mutual_information, dirichlet_mi_sampled
+from .hungarian import hungarian_match
 from .hua import (
     object_membership,
     lambda_rescale,

@@ -644,6 +644,74 @@ class YOLOConfig:
 
 
 @dataclass(frozen=True)
+class DETRConfig:
+    """DETR R50, VOC classes (upstream family the fork keeps registered;
+    configs/detr/detr_r50_8x2_150e_coco.py + dense_heads/detr_head.py
+    defaults)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    # transformer (detr_r50 config: embed 256, 8 heads, ffn 2048, 6+6)
+    embed_dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    num_queries: int = 100
+    num_reg_fcs: int = 2
+    dropout: float = 0.1
+    # loss/matcher weights — shared by assert in detr_head.py:108-118
+    cls_weight: float = 1.0
+    l1_weight: float = 5.0
+    giou_weight: float = 2.0
+    bg_cls_weight: float = 0.1
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    # DETR's test_cfg has no score threshold or NMS (detr_head.py:78)
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        score_thr=0.0, max_per_img=100))
+
+    family = "detr"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Loader-compatibility 1-point generator (DETR is query-based;
+        the loss never reads anchor_valid — see FCOSConfig note)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=(32,), ratios=(1.0,),
+            octave_base_scale=8, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "DETRConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        return [(h // 32, w // 32)]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w)]
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimizer/schedule (Config_RetinaNet.py:89-94 + driver overrides)."""
 
@@ -657,6 +725,11 @@ class TrainConfig:
     outer_epoch: int = 2
     epoch_ratio: Tuple[int, ...] = (3, 1)
     lr_step_epoch: int = 2
+    # DETR trains with AdamW (configs/detr/detr_r50: lr 1e-4, wd 1e-4,
+    # backbone lr_mult 0.1, grad clip 0.1); every other family uses the
+    # reference's torch-exact SGD
+    optimizer: str = "sgd"
+    backbone_lr_mult: float = 1.0
     grad_clip: Optional[float] = None
     # linear warmup (SSD config: 500 iters, ratio 1e-3; Config_SSD.py:158-162)
     warmup_iters: int = 0
@@ -976,6 +1049,26 @@ def tiny_yolo_config(**overrides) -> YOLOConfig:
     )
     base.update(overrides)
     return YOLOConfig(**base)
+
+
+def tiny_detr_config(**overrides) -> DETRConfig:
+    """A shrunken DETR for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        embed_dim=32,
+        num_heads=4,
+        ffn_dim=64,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        num_queries=12,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(score_thr=0.0, max_per_img=12),
+    )
+    base.update(overrides)
+    return DETRConfig(**base)
 
 
 def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:

@@ -16,7 +16,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
                 choices=["retinanet", "ssd", "faster_rcnn",
-                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3"])
+                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -28,19 +28,24 @@ def main():
     from aod_meh_hua_tpu.api import init_detector
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        GFLConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
+        DETRConfig, GFLConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
     )
     from aod_meh_hua_tpu.utils.profiling import compiled_cost
 
     cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
            "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig}[args.family]()
+           "yolov3": YOLOConfig, "detr": DETRConfig}[args.family]()
     model, variables = init_detector(cfg)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     h, w = cfg.canvas
     img = jnp.zeros((1, h, w, 3))
-    cost = compiled_cost(lambda im: model.apply(variables, im), img)
+    if args.family == "detr":
+        shapes = jnp.asarray([[h, w]], jnp.int32)
+        fwd = lambda im: model.apply(variables, im, shapes)
+    else:
+        fwd = lambda im: model.apply(variables, im)
+    cost = compiled_cost(fwd, img)
     print(f"family={args.family} input={h}x{w}")
     print(f"params: {n_params / 1e6:.2f} M")
     print(f"forward flops: {cost['flops'] / 1e9:.2f} GFLOPs")

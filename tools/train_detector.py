@@ -30,7 +30,7 @@ def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
                     choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
-                             "yolov3"])
+                             "yolov3", "detr"])
     ap.add_argument("--voc07", required=True, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--work-dir", required=True)
@@ -38,8 +38,8 @@ def parse_args():
     ap.add_argument("--lr-steps", type=int, nargs="*", default=[8, 11],
                     help="epochs at which lr drops x0.1 (1x schedule)")
     ap.add_argument("--batch-size", type=int, default=2)
-    ap.add_argument("--lr", type=float, default=0.0025,
-                    help="reference per-GPU lr for batch 2")
+    ap.add_argument("--lr", type=float, default=ap_lr_default(),
+                    help="reference per-GPU lr for batch 2 (detr: 1e-4 AdamW)")
     ap.add_argument("--momentum", type=float, default=0.9)
     ap.add_argument("--weight-decay", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=20)
@@ -55,21 +55,25 @@ def parse_args():
     return ap.parse_args()
 
 
+def ap_lr_default():
+    return 0.0025
+
+
 def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        GFLConfig, YOLOConfig, tiny_atss_config, tiny_cascade_config,
-        tiny_faster_rcnn_config, tiny_fcos_config, tiny_gfl_config,
-        tiny_yolo_config,
+        ATSSConfig, CascadeRCNNConfig, DETRConfig, FasterRCNNConfig,
+        FCOSConfig, GFLConfig, YOLOConfig, tiny_atss_config,
+        tiny_cascade_config, tiny_detr_config, tiny_faster_rcnn_config,
+        tiny_fcos_config, tiny_gfl_config, tiny_yolo_config,
     )
 
     full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
             "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-            "yolov3": YOLOConfig}
+            "yolov3": YOLOConfig, "detr": DETRConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
             "atss": tiny_atss_config, "gfl": tiny_gfl_config,
-            "yolov3": tiny_yolo_config}
+            "yolov3": tiny_yolo_config, "detr": tiny_detr_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -83,6 +87,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.two_stage import make_cascade_train_step
 
         return make_cascade_train_step(model, cfg, tx)
+    if family == "detr":
+        from aod_meh_hua_tpu.engine.detr import make_detr_train_step
+
+        return make_detr_train_step(model, cfg, tx)
     if family == "yolov3":
         from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
 
@@ -122,9 +130,17 @@ def main():
 
     os.makedirs(args.work_dir, exist_ok=True)
     cfg = build(args.family, args.mini, args.dtype)
-    tcfg = TrainConfig(lr=args.lr, momentum=args.momentum,
-                       weight_decay=args.weight_decay,
-                       batch_size=args.batch_size, seed=args.seed)
+    if args.family == "detr":
+        # configs/detr/detr_r50: AdamW 1e-4, wd 1e-4, backbone x0.1, clip 0.1
+        lr = args.lr if args.lr != ap_lr_default() else 1e-4
+        tcfg = TrainConfig(optimizer="adamw", lr=lr,
+                           weight_decay=args.weight_decay,
+                           backbone_lr_mult=0.1, grad_clip=0.1,
+                           batch_size=args.batch_size, seed=args.seed)
+    else:
+        tcfg = TrainConfig(lr=args.lr, momentum=args.momentum,
+                           weight_decay=args.weight_decay,
+                           batch_size=args.batch_size, seed=args.seed)
     model, variables = init_detector(cfg, seed=args.seed)
     state, tx = create_train_state(model, variables, tcfg,
                                    frozen_stages=cfg.frozen_stages)
