@@ -30,8 +30,9 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     Returns (model, variables). Families: retinanet (MEH), ssd (MEH),
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
-    from .models import (init_atss, init_cascade_rcnn, init_detr,
-                         init_faster_rcnn, init_fcos, init_gfl, init_yolov3)
+    from .models import (init_atss, init_cascade_rcnn, init_centernet,
+                         init_detr, init_faster_rcnn, init_fcos, init_gfl,
+                         init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -43,6 +44,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "gfl": init_gfl,
         "yolov3": init_yolov3,
         "detr": init_detr,
+        "centernet": init_centernet,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -53,6 +55,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
 def make_eval_step_for(model, cfg):
     """Family-dispatched jitted eval step (NMSResult contract)."""
     from .engine.atss import make_atss_eval_step
+    from .engine.centernet import make_centernet_eval_step
     from .engine.detr import make_detr_eval_step
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
@@ -69,6 +72,7 @@ def make_eval_step_for(model, cfg):
         "gfl": make_gfl_eval_step,
         "yolov3": make_yolo_eval_step,
         "detr": make_detr_eval_step,
+        "centernet": make_centernet_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

@@ -18,6 +18,7 @@ from .atss import ATSS, ATSSHead, build_atss, init_atss
 from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
 from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_yolov3
 from .detr import DETR, build_detr, init_detr, sine_positional_encoding
+from .centernet import CenterNet, build_centernet, init_centernet
 from .two_stage import (
     CascadeRCNN,
     FasterRCNN,

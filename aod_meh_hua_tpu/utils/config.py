@@ -644,6 +644,67 @@ class YOLOConfig:
 
 
 @dataclass(frozen=True)
+class CenterNetConfig:
+    """CenterNet ResNet-18 512x512, VOC classes (upstream family the
+    fork keeps registered; configs/centernet/centernet_resnet18_140e_coco.py
+    = the use_dcn=False variant)."""
+
+    num_classes: int = 20
+    input_size: int = 512
+    block_counts: Tuple[int, ...] = (2, 2, 2, 2)
+    stem_width: int = 64
+    frozen_stages: int = 0  # norm_eval=False: everything trains (incl. BN)
+    deconv_filters: Tuple[int, ...] = (256, 128, 64)
+    feat_channel: int = 64
+    out_stride: int = 4
+    gaussian_min_overlap: float = 0.3
+    wh_loss_weight: float = 0.1
+    offset_loss_weight: float = 1.0
+    local_maximum_kernel: int = 3
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    # topk 100 straight off the heatmap; no box NMS (test_cfg topk=100,
+    # local_maximum_kernel=3, max_per_img=100)
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        score_thr=0.0, max_per_img=100))
+
+    family = "centernet"
+
+    @property
+    def canvas(self) -> Tuple[int, int]:
+        return (self.input_size, self.input_size)
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Loader-compatibility 1-point generator (CenterNet is
+        keypoint-based; the loss never reads anchor_valid)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=(self.out_stride,), ratios=(1.0,),
+            octave_base_scale=4, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "CenterNetConfig":
+        return self  # square canvas
+
+    def featmap_sizes(self):
+        s = self.input_size // self.out_stride
+        return [(s, s)]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w)]
+
+
+@dataclass(frozen=True)
 class DETRConfig:
     """DETR R50, VOC classes (upstream family the fork keeps registered;
     configs/detr/detr_r50_8x2_150e_coco.py + dense_heads/detr_head.py
@@ -1049,6 +1110,22 @@ def tiny_yolo_config(**overrides) -> YOLOConfig:
     )
     base.update(overrides)
     return YOLOConfig(**base)
+
+
+def tiny_centernet_config(**overrides) -> CenterNetConfig:
+    """A shrunken CenterNet for fast CPU unit tests."""
+    base = dict(
+        input_size=64,
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        deconv_filters=(16, 8, 8),
+        feat_channel=8,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(score_thr=0.0, max_per_img=20),
+    )
+    base.update(overrides)
+    return CenterNetConfig(**base)
 
 
 def tiny_detr_config(**overrides) -> DETRConfig:

@@ -134,6 +134,7 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.api import init_detector
     from aod_meh_hua_tpu.engine import Batch, create_train_state
     from aod_meh_hua_tpu.engine.atss import make_atss_train_step
+    from aod_meh_hua_tpu.engine.centernet import make_centernet_train_step
     from aod_meh_hua_tpu.engine.detr import make_detr_train_step
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
@@ -142,9 +143,9 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.ops import anchor_valid_flags
     from aod_meh_hua_tpu.parallel import make_mesh, replicate, shard_batch
     from aod_meh_hua_tpu.utils.config import (
-        TrainConfig, tiny_atss_config, tiny_detr_config,
-        tiny_faster_rcnn_config, tiny_fcos_config, tiny_gfl_config,
-        tiny_yolo_config,
+        TrainConfig, tiny_atss_config, tiny_centernet_config,
+        tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
+        tiny_gfl_config, tiny_yolo_config,
     )
 
     mesh = make_mesh(8)
@@ -157,6 +158,7 @@ def test_zoo_families_train_on_mesh():
         (tiny_gfl_config(), make_gfl_train_step, False),
         (tiny_yolo_config(), make_yolo_train_step, False),
         (tiny_detr_config(), make_detr_train_step, True),
+        (tiny_centernet_config(), make_centernet_train_step, False),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)
