@@ -82,28 +82,38 @@ def make_candidate_selector(cfg):
         out_scores, out_boxes, out_lam = [], [], []
         max_prob = None
         for li, (s0, s1) in enumerate(bounds):
-            scores = transform_scores(cls_scores[:, s0:s1], family)
-            # getMaxConf rides along: the plain-softmax max per level. For
-            # the retina 'relu' transform scores = alphas / (1 + eps) with
-            # alphas already softmax-normalized, so the transformed max is
-            # the softmax max up to a constant 1/(1+eps) factor; for SSD
-            # scores ARE the softmax (incl. background).
-            lvl_max = scores.reshape(scores.shape[0], -1).max(axis=-1)
-            max_prob = lvl_max if max_prob is None else jnp.maximum(max_prob, lvl_max)
+            logits = cls_scores[:, s0:s1]
             preds = bbox_preds[:, s0:s1]
             anchors = all_anchors[s0:s1]
             lam = lambdas[:, s0:s1] if lambdas is not None else None
             n = s1 - s0
             if use_topk and n > nms_pre:
-                max_scores = scores[..., :num_fg].max(axis=-1)
-                idx = _topk(max_scores, nms_pre)  # [B, k]
-                scores = jnp.take_along_axis(scores, idx[..., None], axis=1)
+                # Rank in log domain so the full [B, n, C] softmax is
+                # never materialized: per anchor, max fg prob =
+                # exp(max fg logit - logsumexp), and log is monotone, so
+                # top-k on (max fg logit - lse) IS top-k on max fg prob.
+                # The two reductions fuse into the head's output read —
+                # the big maps stay un-relaid-out in HBM; only the 1000
+                # gathered candidates get the exact score transform.
+                lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B, n]
+                key = logits[..., :num_fg].max(axis=-1) - lse
+                # getMaxConf rides along: softmax max over ALL classes =
+                # exp(max logit - lse). (For the retina 'relu' transform
+                # the transformed max differs by a constant 1/(1+eps)
+                # factor — ranking-neutral, see transform_scores.)
+                lvl_max = jnp.exp((logits.max(axis=-1) - lse).max(axis=-1))
+                idx = _topk(key, nms_pre)  # [B, k]
+                logits = jnp.take_along_axis(logits, idx[..., None], axis=1)
                 preds = jnp.take_along_axis(preds, idx[..., None], axis=1)
                 anchors = anchors[idx]  # [B, k, 4]
                 if lam is not None:
                     lam = jnp.take_along_axis(lam, idx, axis=1)
+                scores = transform_scores(logits, family)
             else:
+                scores = transform_scores(logits, family)
+                lvl_max = scores.reshape(scores.shape[0], -1).max(axis=-1)
                 anchors = jnp.broadcast_to(anchors[None], (scores.shape[0],) + anchors.shape)
+            max_prob = lvl_max if max_prob is None else jnp.maximum(max_prob, lvl_max)
             boxes = delta_decode(
                 anchors, preds, means=cfg.target_means, stds=cfg.target_stds,
                 max_shape=img_shapes,
