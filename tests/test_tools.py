@@ -192,3 +192,58 @@ def test_train_detector_cli(voc_with_results, tmp_path):
     assert os.path.exists(os.path.join(work, "fcos_final.ckpt"))
     row = json.loads(open(os.path.join(work, "train_log.jsonl")).read().splitlines()[0])
     assert np.isfinite(row["loss"]) and "mAP" in row
+
+
+def test_serve_cli(tmp_path):
+    """HTTP serving tool (the reference's TorchServe deployment analog,
+    tools/deployment/mmdet2torchserve.py + mmdet_handler.py): /ping
+    health, raw-bytes and base64 POSTs return detection JSON."""
+    import base64
+    import socket
+    import time
+    import urllib.request
+
+    import cv2
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools/deployment/serve.py"),
+         "--family", "retinanet", "--mini", "--cpu", "--port", str(port),
+         "--score-thr", "0.0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO)
+    try:
+        health = None
+        for _ in range(300):
+            time.sleep(1)
+            try:
+                health = json.load(urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/ping", timeout=5))
+                break
+            except OSError:
+                continue
+        assert health == {"status": "Healthy"}
+        img = (np.random.RandomState(0).rand(40, 80, 3) * 255).astype(np.uint8)
+        _, buf = cv2.imencode(".jpg", img)
+        for payload in (buf.tobytes(), base64.b64encode(buf.tobytes())):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predictions", data=payload,
+                method="POST")
+            out = json.load(urllib.request.urlopen(req, timeout=900))
+            assert isinstance(out, list)
+            for det in out:
+                assert set(det) == {"class_name", "bbox", "score"}
+                assert len(det["bbox"]) == 4
+        # undecodable payload -> clean 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predictions", data=b"not-an-image",
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
