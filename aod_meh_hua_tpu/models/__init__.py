@@ -19,6 +19,7 @@ from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
 from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_yolov3
 from .detr import DETR, build_detr, init_detr, sine_positional_encoding
 from .centernet import CenterNet, build_centernet, init_centernet
+from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .two_stage import (
     CascadeRCNN,
     FasterRCNN,

@@ -644,6 +644,79 @@ class YOLOConfig:
 
 
 @dataclass(frozen=True)
+class SparseRCNNConfig:
+    """Sparse R-CNN R50-FPN, VOC classes (upstream family the fork keeps
+    registered; configs/sparse_rcnn/sparse_rcnn_r50_fpn_1x_coco.py)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    num_proposals: int = 100
+    num_stages: int = 6
+    stage_loss_weights: Tuple[float, ...] = (1.0,) * 6
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    dyn_feat: int = 64
+    roi_size: int = 7
+    finest_scale: int = 56
+    target_stds: Tuple[float, ...] = (0.5, 0.5, 1.0, 1.0)
+    # matcher = loss weights (FocalLossCost 2 / BBoxL1Cost 5 / IoUCost 2)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    cls_cost_weight: float = 2.0
+    l1_cost_weight: float = 5.0
+    giou_cost_weight: float = 2.0
+    cls_loss_weight: float = 2.0
+    l1_loss_weight: float = 5.0
+    giou_loss_weight: float = 2.0
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    # no NMS; top max_per_img over (proposal, class) sigmoid scores
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        score_thr=0.0, max_per_img=100))
+
+    family = "sparse_rcnn"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Loader-compatibility 1-point generator (proposals are
+        learnable; the loss never reads anchor_valid)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=(self.strides[0],), ratios=(1.0,),
+            octave_base_scale=8, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "SparseRCNNConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        return [(h // s, w // s) for s in self.strides[:1]]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w)]
+
+
+@dataclass(frozen=True)
 class CenterNetConfig:
     """CenterNet ResNet-18 512x512, VOC classes (upstream family the
     fork keeps registered; configs/centernet/centernet_resnet18_140e_coco.py
@@ -1110,6 +1183,27 @@ def tiny_yolo_config(**overrides) -> YOLOConfig:
     )
     base.update(overrides)
     return YOLOConfig(**base)
+
+
+def tiny_sparse_rcnn_config(**overrides) -> SparseRCNNConfig:
+    """A shrunken Sparse R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_proposals=12,
+        num_stages=2,
+        stage_loss_weights=(1.0, 1.0),
+        num_heads=4,
+        ffn_dim=32,
+        dyn_feat=8,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(score_thr=0.0, max_per_img=12),
+    )
+    base.update(overrides)
+    return SparseRCNNConfig(**base)
 
 
 def tiny_centernet_config(**overrides) -> CenterNetConfig:

@@ -30,7 +30,7 @@ def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
                     choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
-                             "yolov3", "detr", "centernet"])
+                             "yolov3", "detr", "centernet", "sparse_rcnn"])
     ap.add_argument("--voc07", required=True, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--work-dir", required=True)
@@ -62,21 +62,23 @@ def ap_lr_default():
 def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, CenterNetConfig, DETRConfig,
-        FasterRCNNConfig, FCOSConfig, GFLConfig, YOLOConfig,
+        FasterRCNNConfig, FCOSConfig, GFLConfig, SparseRCNNConfig,
+        YOLOConfig,
         tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
         tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
-        tiny_gfl_config, tiny_yolo_config,
+        tiny_gfl_config, tiny_sparse_rcnn_config, tiny_yolo_config,
     )
 
     full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
             "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
             "yolov3": YOLOConfig, "detr": DETRConfig,
-            "centernet": CenterNetConfig}
+            "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
             "atss": tiny_atss_config, "gfl": tiny_gfl_config,
             "yolov3": tiny_yolo_config, "detr": tiny_detr_config,
-            "centernet": tiny_centernet_config}
+            "centernet": tiny_centernet_config,
+            "sparse_rcnn": tiny_sparse_rcnn_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -94,6 +96,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.detr import make_detr_train_step
 
         return make_detr_train_step(model, cfg, tx)
+    if family == "sparse_rcnn":
+        from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
+
+        return make_sparse_rcnn_train_step(model, cfg, tx)
     if family == "yolov3":
         from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
 
@@ -143,6 +149,12 @@ def main():
         tcfg = TrainConfig(optimizer="adamw", lr=lr,
                            weight_decay=args.weight_decay,
                            backbone_lr_mult=0.1, grad_clip=0.1,
+                           batch_size=args.batch_size, seed=args.seed)
+    elif args.family == "sparse_rcnn":
+        # configs/sparse_rcnn: AdamW 2.5e-5, wd 1e-4, grad clip 1
+        lr = args.lr if args.lr != ap_lr_default() else 2.5e-5
+        tcfg = TrainConfig(optimizer="adamw", lr=lr,
+                           weight_decay=args.weight_decay, grad_clip=1.0,
                            batch_size=args.batch_size, seed=args.seed)
     else:
         tcfg = TrainConfig(lr=args.lr, momentum=args.momentum,
