@@ -32,7 +32,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     collapsed to a config-type dispatch."""
     from .models import (init_atss, init_cascade_rcnn, init_centernet,
                          init_detr, init_faster_rcnn, init_fcos, init_gfl,
-                         init_sparse_rcnn, init_yolov3)
+                         init_sparse_rcnn, init_yolof, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -46,6 +46,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "detr": init_detr,
         "centernet": init_centernet,
         "sparse_rcnn": init_sparse_rcnn,
+        "yolof": init_yolof,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -59,6 +60,7 @@ def make_eval_step_for(model, cfg):
     from .engine.centernet import make_centernet_eval_step
     from .engine.detr import make_detr_eval_step
     from .engine.sparse_rcnn import make_sparse_rcnn_eval_step
+    from .engine.yolof import make_yolof_eval_step
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
@@ -76,6 +78,7 @@ def make_eval_step_for(model, cfg):
         "detr": make_detr_eval_step,
         "centernet": make_centernet_eval_step,
         "sparse_rcnn": make_sparse_rcnn_eval_step,
+        "yolof": make_yolof_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

@@ -20,6 +20,7 @@ from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_
 from .detr import DETR, build_detr, init_detr, sine_positional_encoding
 from .centernet import CenterNet, build_centernet, init_centernet
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
+from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof
 from .two_stage import (
     CascadeRCNN,
     FasterRCNN,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -105,13 +105,19 @@ class AnchorGenerator:
     scales_per_octave: int = 3
     scale_major: bool = True
     center_offset: float = 0.0
+    # explicit scale list (YOLOF-style `scales=[1, 2, 4, 8, 16]`);
+    # None derives the octave schedule (RetinaNet family)
+    scales: Optional[Sequence[float]] = None
 
     def __post_init__(self):
         self.strides = [(s, s) if isinstance(s, int) else tuple(s) for s in self.strides]
-        self.scales = np.array(
-            [self.octave_base_scale * 2 ** (i / self.scales_per_octave) for i in range(self.scales_per_octave)],
-            dtype=np.float32,
-        )
+        if self.scales is not None:
+            self.scales = np.asarray(self.scales, dtype=np.float32)
+        else:
+            self.scales = np.array(
+                [self.octave_base_scale * 2 ** (i / self.scales_per_octave) for i in range(self.scales_per_octave)],
+                dtype=np.float32,
+            )
         self._ratios = np.asarray(self.ratios, dtype=np.float32)
         self.base_anchors: List[np.ndarray] = []
         for (sw, sh) in self.strides:

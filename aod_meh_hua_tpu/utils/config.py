@@ -644,6 +644,69 @@ class YOLOConfig:
 
 
 @dataclass(frozen=True)
+class YOLOFConfig:
+    """YOLOF R50-C5, VOC classes (upstream family the fork keeps
+    registered; configs/yolof/yolof_r50_c5_8x8_1x_coco.py)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    encoder_channels: int = 512
+    encoder_mid_channels: int = 128
+    encoder_dilations: Tuple[int, ...] = (2, 4, 6, 8)
+    # single stride-32 level, ratio 1, scales 1..16 (base size 32)
+    stride: int = 32
+    anchor_scales: Tuple[float, ...] = (1.0, 2.0, 4.0, 8.0, 16.0)
+    ctr_clamp: float = 32.0
+    # UniformAssigner
+    match_times: int = 4
+    pos_ignore_thr: float = 0.15
+    neg_ignore_thr: float = 0.7
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.6, max_per_img=100))
+
+    family = "yolof"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=(self.stride,), ratios=(1.0,),
+            octave_base_scale=1, scales_per_octave=1,
+            scales=self.anchor_scales,
+        )
+
+    def for_orientation(self, orientation: str) -> "YOLOFConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        return [(h // self.stride, w // self.stride)]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w * len(self.anchor_scales))]
+
+
+@dataclass(frozen=True)
 class SparseRCNNConfig:
     """Sparse R-CNN R50-FPN, VOC classes (upstream family the fork keeps
     registered; configs/sparse_rcnn/sparse_rcnn_r50_fpn_1x_coco.py)."""
@@ -1183,6 +1246,25 @@ def tiny_yolo_config(**overrides) -> YOLOConfig:
     )
     base.update(overrides)
     return YOLOConfig(**base)
+
+
+def tiny_yolof_config(**overrides) -> YOLOFConfig:
+    """A shrunken YOLOF for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        encoder_channels=16,
+        encoder_mid_channels=8,
+        stride=32,
+        anchor_scales=(0.5, 1.0, 2.0),
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=24, max_per_img=12,
+                     nms_iou_thr=0.6),
+    )
+    base.update(overrides)
+    return YOLOFConfig(**base)
 
 
 def tiny_sparse_rcnn_config(**overrides) -> SparseRCNNConfig:
