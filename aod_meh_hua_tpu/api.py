@@ -32,7 +32,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     collapsed to a config-type dispatch."""
     from .models import (init_atss, init_cascade_rcnn, init_centernet,
                          init_detr, init_faster_rcnn, init_fcos, init_gfl,
-                         init_sparse_rcnn, init_yolof, init_yolov3)
+                         init_foveabox, init_sparse_rcnn, init_yolof, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -47,6 +47,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "centernet": init_centernet,
         "sparse_rcnn": init_sparse_rcnn,
         "yolof": init_yolof,
+        "foveabox": init_foveabox,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -61,6 +62,7 @@ def make_eval_step_for(model, cfg):
     from .engine.detr import make_detr_eval_step
     from .engine.sparse_rcnn import make_sparse_rcnn_eval_step
     from .engine.yolof import make_yolof_eval_step
+    from .engine.foveabox import make_fovea_eval_step
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
@@ -79,6 +81,7 @@ def make_eval_step_for(model, cfg):
         "centernet": make_centernet_eval_step,
         "sparse_rcnn": make_sparse_rcnn_eval_step,
         "yolof": make_yolof_eval_step,
+        "foveabox": make_fovea_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

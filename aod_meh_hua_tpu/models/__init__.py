@@ -21,6 +21,7 @@ from .detr import DETR, build_detr, init_detr, sine_positional_encoding
 from .centernet import CenterNet, build_centernet, init_centernet
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof
+from .foveabox import FoveaBox, build_foveabox, init_foveabox
 from .two_stage import (
     CascadeRCNN,
     FasterRCNN,

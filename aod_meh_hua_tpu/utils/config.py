@@ -644,6 +644,76 @@ class YOLOConfig:
 
 
 @dataclass(frozen=True)
+class FoveaBoxConfig:
+    """FoveaBox R50-FPN, VOC classes (upstream family the fork keeps
+    registered; configs/foveabox/fovea_r50_fpn_4x4_1x_coco.py)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    base_edge_list: Tuple[int, ...] = (16, 32, 64, 128, 256)
+    scale_ranges: Tuple[Tuple[float, float], ...] = (
+        (1, 64), (32, 128), (64, 256), (128, 512), (256, 2048))
+    sigma: float = 0.4
+    focal_gamma: float = 1.5
+    focal_alpha: float = 0.4
+    smooth_l1_beta: float = 0.11
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100))
+
+    family = "foveabox"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Loader-compatibility 1-point generator (FoveaBox is
+        point-based; the loss never reads anchor_valid — FCOSConfig
+        note)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=(1.0,),
+            octave_base_scale=8, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "FoveaBoxConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            bounds.append((off, off + h * w))
+            off += h * w
+        return bounds
+
+
+@dataclass(frozen=True)
 class YOLOFConfig:
     """YOLOF R50-C5, VOC classes (upstream family the fork keeps
     registered; configs/yolof/yolof_r50_c5_8x8_1x_coco.py)."""
@@ -1246,6 +1316,26 @@ def tiny_yolo_config(**overrides) -> YOLOConfig:
     )
     base.update(overrides)
     return YOLOConfig(**base)
+
+
+def tiny_foveabox_config(**overrides) -> FoveaBoxConfig:
+    """A shrunken FoveaBox for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        strides=(8, 16, 32),
+        base_edge_list=(16, 32, 64),
+        scale_ranges=((1, 24), (12, 48), (24, 1000)),
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return FoveaBoxConfig(**base)
 
 
 def tiny_yolof_config(**overrides) -> YOLOFConfig:

@@ -137,6 +137,7 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.centernet import make_centernet_train_step
     from aod_meh_hua_tpu.engine.detr import make_detr_train_step
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
+    from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
     from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
     from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
@@ -147,6 +148,7 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.utils.config import (
         TrainConfig, tiny_atss_config, tiny_centernet_config,
         tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
+        tiny_foveabox_config,
         tiny_gfl_config, tiny_sparse_rcnn_config, tiny_yolo_config,
         tiny_yolof_config,
     )
@@ -164,6 +166,7 @@ def test_zoo_families_train_on_mesh():
         (tiny_centernet_config(), make_centernet_train_step, False),
         (tiny_sparse_rcnn_config(), make_sparse_rcnn_train_step, True),
         (tiny_yolof_config(), make_yolof_train_step, False),
+        (tiny_foveabox_config(), make_fovea_train_step, False),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)
