@@ -48,6 +48,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "sparse_rcnn": init_sparse_rcnn,
         "yolof": init_yolof,
         "foveabox": init_foveabox,
+        "paa": init_atss,  # PAA reuses the ATSS model; engine differs
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -63,6 +64,7 @@ def make_eval_step_for(model, cfg):
     from .engine.sparse_rcnn import make_sparse_rcnn_eval_step
     from .engine.yolof import make_yolof_eval_step
     from .engine.foveabox import make_fovea_eval_step
+    from .engine.paa import make_paa_eval_step
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
@@ -82,6 +84,7 @@ def make_eval_step_for(model, cfg):
         "sparse_rcnn": make_sparse_rcnn_eval_step,
         "yolof": make_yolof_eval_step,
         "foveabox": make_fovea_eval_step,
+        "paa": make_paa_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

@@ -644,6 +644,79 @@ class YOLOConfig:
 
 
 @dataclass(frozen=True)
+class PAAConfig:
+    """PAA R50-FPN, VOC classes (upstream family the fork keeps
+    registered; configs/paa/paa_r50_fpn_1x_coco.py — the ATSS model
+    geometry with probabilistic GMM assignment; the centerness branch
+    doubles as the IoU prediction)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    octave_base_scale: int = 8
+    ratios: Tuple[float, ...] = (1.0,)
+    paa_topk: int = 9
+    score_voting: bool = True
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    giou_loss_weight: float = 1.3
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.6, max_per_img=100))
+
+    family = "paa"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=self.ratios,
+            octave_base_scale=self.octave_base_scale, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "PAAConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w * len(self.ratios)
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
 class FoveaBoxConfig:
     """FoveaBox R50-FPN, VOC classes (upstream family the fork keeps
     registered; configs/foveabox/fovea_r50_fpn_4x4_1x_coco.py)."""
@@ -1316,6 +1389,26 @@ def tiny_yolo_config(**overrides) -> YOLOConfig:
     )
     base.update(overrides)
     return YOLOConfig(**base)
+
+
+def tiny_paa_config(**overrides) -> PAAConfig:
+    """A shrunken PAA for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        strides=(8, 16, 32),
+        paa_topk=4,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20,
+                     nms_iou_thr=0.6),
+    )
+    base.update(overrides)
+    return PAAConfig(**base)
 
 
 def tiny_foveabox_config(**overrides) -> FoveaBoxConfig:

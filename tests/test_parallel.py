@@ -139,6 +139,7 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
     from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
+    from aod_meh_hua_tpu.engine.paa import make_paa_train_step
     from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
     from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
     from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
@@ -149,7 +150,7 @@ def test_zoo_families_train_on_mesh():
         TrainConfig, tiny_atss_config, tiny_centernet_config,
         tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
         tiny_foveabox_config,
-        tiny_gfl_config, tiny_sparse_rcnn_config, tiny_yolo_config,
+        tiny_gfl_config, tiny_paa_config, tiny_sparse_rcnn_config, tiny_yolo_config,
         tiny_yolof_config,
     )
 
@@ -167,6 +168,7 @@ def test_zoo_families_train_on_mesh():
         (tiny_sparse_rcnn_config(), make_sparse_rcnn_train_step, True),
         (tiny_yolof_config(), make_yolof_train_step, False),
         (tiny_foveabox_config(), make_fovea_train_step, False),
+        (tiny_paa_config(), make_paa_train_step, False),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)

@@ -19,7 +19,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
                 choices=["retinanet", "ssd", "faster_rcnn",
-                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox"])
+                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
@@ -34,13 +34,13 @@ def main():
     from aod_meh_hua_tpu.engine import EvalBatch
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
+        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, PAAConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
     )
 
     cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
            "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig}[args.family](
+           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family](
         compute_dtype=args.dtype)
     model, variables = init_detector(cfg)
     step = make_eval_step_for(model, cfg)

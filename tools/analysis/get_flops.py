@@ -16,7 +16,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
                 choices=["retinanet", "ssd", "faster_rcnn",
-                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox"])
+                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -28,14 +28,14 @@ def main():
     from aod_meh_hua_tpu.api import init_detector
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
+        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, PAAConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
     )
     from aod_meh_hua_tpu.utils.profiling import compiled_cost
 
     cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
            "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig}[args.family]()
+           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family]()
     model, variables = init_detector(cfg)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     h, w = cfg.canvas

@@ -18,7 +18,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
                     choices=["retinanet", "ssd", "faster_rcnn", "cascade_rcnn",
-                             "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox"])
+                             "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default="detector_export.bin")
     ap.add_argument("--batch", type=int, default=1)
@@ -36,7 +36,7 @@ def main():
     from aod_meh_hua_tpu.ops.nms import NMSResult
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
+        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, PAAConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
     )
 
     # namedtuple pytrees must be registered for serialization
@@ -48,7 +48,7 @@ def main():
     cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
            "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig}[args.family]()
+           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family]()
     model, variables = init_detector(cfg, checkpoint=args.checkpoint)
     step = make_eval_step_for(model, cfg)
 

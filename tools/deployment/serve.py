@@ -37,7 +37,7 @@ def build_detector(args):
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, CenterNetConfig, DETRConfig,
         FasterRCNNConfig, FCOSConfig, GFLConfig, RetinaNetConfig,
-        FoveaBoxConfig, SparseRCNNConfig, SSDConfig, YOLOConfig, YOLOFConfig,
+        FoveaBoxConfig, PAAConfig, SparseRCNNConfig, SSDConfig, YOLOConfig, YOLOFConfig,
     )
 
     if args.mini:
@@ -45,7 +45,7 @@ def build_detector(args):
             tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
             tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
             tiny_gfl_config, tiny_sparse_rcnn_config, tiny_test_config,
-            tiny_foveabox_config, tiny_yolo_config, tiny_yolof_config,
+            tiny_foveabox_config, tiny_paa_config, tiny_yolo_config, tiny_yolof_config,
         )
 
         cfg = {"retinanet": tiny_test_config,
@@ -57,14 +57,15 @@ def build_detector(args):
                "centernet": tiny_centernet_config,
                "sparse_rcnn": tiny_sparse_rcnn_config,
                "yolof": tiny_yolof_config,
-               "foveabox": tiny_foveabox_config}[args.family]()
+               "foveabox": tiny_foveabox_config,
+               "paa": tiny_paa_config}[args.family]()
     else:
         cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
                "faster_rcnn": FasterRCNNConfig,
                "cascade_rcnn": CascadeRCNNConfig, "fcos": FCOSConfig,
                "atss": ATSSConfig, "gfl": GFLConfig, "yolov3": YOLOConfig,
                "detr": DETRConfig,
-               "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig}[args.family]()
+               "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family]()
     model, variables = init_detector(cfg, checkpoint=args.checkpoint)
     pipeline = None
     if args.mini:
@@ -139,7 +140,7 @@ def main():
     ap.add_argument("--family", default="retinanet",
                     choices=["retinanet", "ssd", "faster_rcnn", "cascade_rcnn",
                              "fcos", "atss", "gfl", "yolov3", "detr",
-                             "centernet", "sparse_rcnn", "yolof", "foveabox"])
+                             "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--score-thr", type=float, default=0.5)

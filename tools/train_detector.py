@@ -31,7 +31,7 @@ def parse_args():
     ap.add_argument("--family", required=True,
                     choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
                              "yolov3", "detr", "centernet", "sparse_rcnn", "yolof",
-                             "foveabox"])
+                             "foveabox", "paa"])
     ap.add_argument("--voc07", required=True, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--work-dir", required=True)
@@ -64,25 +64,27 @@ def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, CenterNetConfig, DETRConfig,
         FasterRCNNConfig, FCOSConfig, FoveaBoxConfig, GFLConfig,
-        SparseRCNNConfig, YOLOConfig, YOLOFConfig,
+        PAAConfig, SparseRCNNConfig, YOLOConfig, YOLOFConfig,
         tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
         tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
-        tiny_foveabox_config, tiny_gfl_config, tiny_sparse_rcnn_config,
-        tiny_yolo_config, tiny_yolof_config,
+        tiny_foveabox_config, tiny_gfl_config, tiny_paa_config,
+        tiny_sparse_rcnn_config, tiny_yolo_config, tiny_yolof_config,
     )
 
     full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
             "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
             "yolov3": YOLOConfig, "detr": DETRConfig,
             "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig,
-            "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig}
+            "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig,
+            "paa": PAAConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
             "atss": tiny_atss_config, "gfl": tiny_gfl_config,
             "yolov3": tiny_yolo_config, "detr": tiny_detr_config,
             "centernet": tiny_centernet_config,
             "sparse_rcnn": tiny_sparse_rcnn_config,
-            "yolof": tiny_yolof_config, "foveabox": tiny_foveabox_config}
+            "yolof": tiny_yolof_config, "foveabox": tiny_foveabox_config,
+            "paa": tiny_paa_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -120,6 +122,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
 
         inner = make_fovea_train_step(model, cfg, tx)
+    elif family == "paa":
+        from aod_meh_hua_tpu.engine.paa import make_paa_train_step
+
+        inner = make_paa_train_step(model, cfg, tx)
     elif family == "gfl":
         from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
 
