@@ -48,7 +48,9 @@ def gaussian_radius(height, width, min_overlap=0.3):
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
-    r3 = (-b3 + jnp.sqrt(jnp.maximum(b3 * b3 - 4 * a3 * c3, 0.0))) / (2 * a3)
+    # reference root: (b3 + sqrt(disc)) / (2*a3) with b3 negative
+    # (gaussian_target.py:185); c3 <= 0 so sqrt(disc) >= |b3| and r3 >= 0
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3 * b3 - 4 * a3 * c3, 0.0))) / (2 * a3)
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 

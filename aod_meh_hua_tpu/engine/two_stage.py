@@ -405,12 +405,15 @@ def make_cascade_eval_step(model, cfg) -> Callable:
         for stage in range(cfg.num_stages):
             roi_feats = _extract_rois(cfg, feats, props)
             cls, reg = model.apply(variables, roi_feats, stage, method=_roi_stage)
-            ms_scores.append(jax.nn.softmax(cls, axis=-1).reshape(b, p, c + 1))
+            ms_scores.append(cls.reshape(b, p, c + 1))
             # refine (final stage: these ARE the output boxes)
             props = delta_decode(props, reg[:, 0].reshape(b, p, 4),
                                  stds=cfg.stage_stds[stage],
                                  max_shape=batch.img_shapes[:, None, :])
-        probs = sum(ms_scores) / cfg.num_stages
+        # average raw logits across stages, softmax ONCE (the reference
+        # sums cls_score logits, cascade_roi_head.py:329-332, and
+        # get_bboxes applies the single softmax)
+        probs = jax.nn.softmax(sum(ms_scores) / cfg.num_stages, axis=-1)
         boxes = props / batch.scale_factors[:, None, :]
         fg = probs[..., :c] * prop_valid[..., None]
         return batched_multiclass_nms(

@@ -128,8 +128,13 @@ def atss_assign(
         k = min(topk, s1 - s0)
         _, idx = jax.lax.top_k(-dist[s0:s1].T, k)  # [G, k] closest per gt
         cand = cand.at[idx.T + s0, g_idx].set(True)
+    if anchor_valid is not None:
+        # a level with < topk valid anchors top-ks into the pad region;
+        # drop those so the mean/std statistics see only real candidates
+        # (the reference computes them on the valid_flags subset)
+        cand = cand & anchor_valid[:, None]
 
-    n_cand = cand.sum(axis=0)  # k * num_levels (constant)
+    n_cand = cand.sum(axis=0)  # <= k * num_levels
     c_iou = jnp.where(cand, overlaps, 0.0)
     mean = c_iou.sum(axis=0) / jnp.maximum(n_cand, 1)
     var = jnp.where(cand, (overlaps - mean[None, :]) ** 2, 0.0).sum(axis=0)
