@@ -77,12 +77,20 @@ class ALDriver:
         name: str = "retinanet_meh",
         log: Optional[callable] = print,
         num_devices: Optional[int] = None,
+        cache_dir: Optional[str] = "auto",
     ):
         """num_devices > 1 runs data-parallel over a 'data' mesh: params
         replicated, train batches and pool-scoring batches sharded on the
         batch axis (the reference's DDP + rank-sharded scoring,
         /root/reference/mmdet/apis/train.py:75-85, apis/test.py:197-315).
-        batch sizes are GLOBAL and must divide by num_devices."""
+        batch sizes are GLOBAL and must divide by num_devices.
+
+        cache_dir: decoded-canvas cache root ("auto" = <work_dir>/
+        canvas_cache, None = off). The pool is immutable across cycles,
+        so eval/score sweeps decode each JPEG ONCE per experiment and
+        every later sweep memory-maps the prepared canvas — the
+        reference re-decodes per epoch per cycle (datasets/pipelines/
+        loading.py:12)."""
         self.cfg = model_cfg
         self.tcfg = train_cfg
         self.al = al_cfg
@@ -129,6 +137,11 @@ class ALDriver:
             datasets.append(VOCDataset(paths.trainval12, paths.voc12))
         self.pool = ConcatVOC(datasets)
         self.val = VOCDataset(paths.test07, paths.voc07, test_mode=True) if validate else None
+
+        if cache_dir == "auto":
+            cache_dir = os.path.join(paths.work_dir, "canvas_cache")
+        self.cache_dir = cache_dir
+        self._caches: Dict[str, object] = {}
 
         self._train_steps: Dict[str, callable] = {}
         self._score_steps: Dict[str, callable] = {}
@@ -282,10 +295,22 @@ class ALDriver:
         except ImportError:
             pass
 
+    def _canvas_cache(self, name: str, dataset):
+        """Per-dataset decoded-canvas cache (pool + val differ), built
+        lazily and kept open across cycles."""
+        if name not in self._caches:
+            from ..data import open_canvas_cache
+
+            cd = os.path.join(self.cache_dir, name) if self.cache_dir else None
+            self._caches[name] = open_canvas_cache(
+                cd, dataset, self.pipeline, log=self.log)
+        return self._caches[name]
+
     def evaluate(self, variables) -> float:
         assert self.val is not None
         loader = EvalLoader(self.val, np.arange(len(self.val)), self.pipeline,
-                            batch_size=self.al.score_batch_size)
+                            batch_size=self.al.score_batch_size,
+                            cache=self._canvas_cache("val", self.val))
         results, annotations = [], []
         order = []
         for orientation, batch, idx in loader:
@@ -403,7 +428,8 @@ class ALDriver:
             if cycle != self.al.cycles[-1]:
                 self.log("  scoring pool ...")
                 loader = EvalLoader(self.pool, np.arange(len(self.pool)), self.pipeline,
-                                    batch_size=self.al.score_batch_size)
+                                    batch_size=self.al.score_batch_size,
+                                    cache=self._canvas_cache("pool", self.pool))
                 t0 = time.time()
                 unc, mconf = score_pool(
                     self.model, self._variables(state), self.cfg, loader,

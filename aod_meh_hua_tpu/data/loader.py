@@ -206,15 +206,21 @@ class EvalLoader:
         prefetch: bool = True,
         num_workers: int = 8,
         transform_fn=None,
+        cache=None,
     ):
         """transform_fn(img_bgr_uint8, idx) -> img: post-decode hook
-        (e.g. the robustness corruptions, tools/analysis/test_robustness)."""
+        (e.g. the robustness corruptions, tools/analysis/test_robustness).
+        cache: a data.canvas_cache.CanvasCache — decoded canvases are
+        read from / written to it, so repeat sweeps of the same immutable
+        pool (every AL cycle) skip the JPEG decode entirely. Ignored when
+        transform_fn is set (corrupted images must not poison the cache)."""
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.transform_fn = transform_fn
+        self.cache = cache if transform_fn is None else None
         self._pool = _shared_pool(num_workers) if num_workers > 0 else None
 
     def __len__(self):
@@ -226,10 +232,18 @@ class EvalLoader:
 
     def _make_batch(self, batch_idx: np.ndarray) -> EvalBatch:
         def prep(i):
-            img = load_image(self.dataset.img_path(int(i)))
+            i = int(i)
+            if self.cache is not None:
+                s = self.cache.get(i)
+                if s is not None:
+                    return s
+            img = load_image(self.dataset.img_path(i))
             if self.transform_fn is not None:
-                img = self.transform_fn(img, int(i))
-            return prepare_sample(img, None, self.pipeline, flip=False)
+                img = self.transform_fn(img, i)
+            s = prepare_sample(img, None, self.pipeline, flip=False)
+            if self.cache is not None:
+                self.cache.put(i, s)
+            return s
 
         if self._pool is not None:
             samples = list(self._pool.map(prep, batch_idx))

@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--out", default="uncertainty.npy")
     p.add_argument("--seed", type=int, default=20)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--canvas-cache-dir", default=None,
+                   help="decoded-canvas cache root (off by default)")
     p.add_argument("--mini", action="store_true", help="tiny model (smoke mode)")
     return p.parse_args()
 
@@ -88,7 +90,13 @@ def main():
     pool = ConcatVOC(datasets)
     n = len(pool)
     rng = np.random.RandomState(args.seed)
-    loader = EvalLoader(pool, np.arange(n), pipe, batch_size=args.batch_size)
+    cache = None
+    if args.canvas_cache_dir:
+        from aod_meh_hua_tpu.data import open_canvas_cache
+
+        cache = open_canvas_cache(args.canvas_cache_dir, pool, pipe, log=print)
+    loader = EvalLoader(pool, np.arange(n), pipe, batch_size=args.batch_size,
+                        cache=cache)
 
     ckpts = args.checkpoint or [None]
     model, variables = init_detector(cfg, checkpoint=ckpts[0], seed=args.seed)

@@ -62,6 +62,9 @@ def parse_args():
                         "schedule (the reference's ismini flag, "
                         "tools/train_RetinaNet.py:32)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--canvas-cache-dir", default="auto",
+                   help="decoded-canvas cache root shared across runs "
+                        "('auto' = <work_dir>/canvas_cache, 'none' = off)")
     return p.parse_args()
 
 
@@ -130,7 +133,8 @@ def main():
     np.random.seed(args.seed)
     paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
     driver = ALDriver(model_cfg, train_cfg, al_cfg, paths, pipeline=pipeline,
-                      validate=not args.no_validate, num_devices=args.num_devices)
+                      validate=not args.no_validate, num_devices=args.num_devices,
+                      cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import attach_pretrained_backbone
 

@@ -49,6 +49,9 @@ def parse_args():
     p.add_argument("--mini", action="store_true",
                    help="smoke mode: thin VGG + 1-epoch schedule")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--canvas-cache-dir", default="auto",
+                   help="decoded-canvas cache root ('auto' = <work_dir>/"
+                        "canvas_cache, 'none' = off)")
     return p.parse_args()
 
 
@@ -122,7 +125,8 @@ def main():
     paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
     driver = ALDriver(model_cfg, train_cfg, al_cfg, paths,
                       validate=not args.no_validate, name="ssd_meh",
-                      num_devices=args.num_devices)
+                      num_devices=args.num_devices,
+                      cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import load_torch_state_dict
         from aod_meh_hua_tpu.models.vgg import convert_mmcv_vgg16
