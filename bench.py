@@ -4,10 +4,15 @@ The north-star metric (BASELINE.md): pool scoring — the reference's
 signature path — at >= 5x an A100 running the CUDA/PyTorch reference.
 The reference's scorer is host-bound (python triple loops + 500-sample
 torch Dirichlet per image with a device sync per dict entry,
-reference mmdet/apis/test.py:90-135 + Lambda_L2.py:489-537); measured
-throughputs reported for that class of loop are O(10) img/s on A100-class
-hardware. We take REFERENCE_A100_IMG_S = 20.0 as a generous estimate, so
-the 5x target is 100 img/s/chip; vs_baseline below is measured / (5x20).
+reference mmdet/apis/test.py:90-135 + Lambda_L2.py:489-537).
+REFERENCE_A100_IMG_S = 20.0 is a derived op/sync-count model, NOT a
+measurement (torch/mmcv is not installable here): fp32 forward 12-15 ms
++ gamma sampling 5-15 ms + 50-500 synchronous .item() round-trips at
+30-100 us each + interpreted-loop overhead = 27-130 ms/img -> 8-37
+img/s; 20 sits at the reference-favorable end. Full arithmetic with
+file:line citations: BASELINE.md "Derivation of the A100
+reference-throughput denominator". The 5x target is 100 img/s/chip;
+vs_baseline below is measured / (5x20).
 
 Run: python bench.py [--batch N] [--iters N] [--dtype bfloat16] [--e2e N]
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus an

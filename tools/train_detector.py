@@ -147,7 +147,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
 
     from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
     from aod_meh_hua_tpu.data import (
