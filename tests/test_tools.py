@@ -188,7 +188,7 @@ def test_train_detector_cli(voc_with_results, tmp_path):
                 "--cpu", "--voc07", base, "--work-dir", work,
                 "--epochs", "1"])
     assert "mean loss" in out and "nan" not in out
-    assert "VOC mAP" in out
+    assert "mAP" in out
     assert os.path.exists(os.path.join(work, "fcos_final.ckpt"))
     row = json.loads(open(os.path.join(work, "train_log.jsonl")).read().splitlines()[0])
     assert np.isfinite(row["loss"]) and "mAP" in row

@@ -32,8 +32,18 @@ def parse_args():
                     choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
                              "yolov3", "detr", "centernet", "sparse_rcnn", "yolof",
                              "foveabox", "paa"])
-    ap.add_argument("--voc07", required=True, help="VOC2007 root")
+    ap.add_argument("--voc07", default=None, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
+    ap.add_argument("--coco-train", default=None,
+                    help="COCO-format instances JSON for training "
+                         "(mutually exclusive with --voc07)")
+    ap.add_argument("--coco-val", default=None,
+                    help="COCO-format instances JSON for eval (COCO-style "
+                         "101-point mAP @ IoU .50:.95)")
+    ap.add_argument("--coco-img-prefix", default=None,
+                    help="image root for --coco-train (default: its dir)")
+    ap.add_argument("--coco-img-prefix-val", default=None,
+                    help="image root for --coco-val (default: --coco-img-prefix)")
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--lr-steps", type=int, nargs="*", default=[8, 11],
@@ -198,21 +208,53 @@ def main():
 
     from aod_meh_hua_tpu.data.voc import VOC_CLASSES
 
-    # shrunken --mini heads have < 20 classes: restrict the dataset to the
-    # matching class subset (unknown names are skipped by the parser)
-    classes = VOC_CLASSES[: cfg.num_classes]
-    datasets = [VOCDataset(os.path.join(args.voc07, "ImageSets/Main/trainval.txt"),
-                           args.voc07, classes=classes)]
-    if args.voc12:
-        datasets.append(VOCDataset(
-            os.path.join(args.voc12, "ImageSets/Main/trainval.txt"), args.voc12,
-            classes=classes))
-    train_set = ConcatVOC(datasets)
-    val = None
-    if not args.no_validate:
-        test_txt = os.path.join(args.voc07, "ImageSets/Main/test.txt")
-        if os.path.exists(test_txt):
-            val = VOCDataset(test_txt, args.voc07, test_mode=True, classes=classes)
+    eval_fn = None  # (results, anns) -> metrics row entries
+    if args.coco_train:
+        if args.voc07:
+            raise SystemExit("--coco-train and --voc07 are mutually exclusive")
+        from aod_meh_hua_tpu.data.coco import CocoDataset
+        from aod_meh_hua_tpu.utils.coco_eval import eval_coco_map
+
+        prefix = args.coco_img_prefix or os.path.dirname(args.coco_train)
+        train_set = CocoDataset(args.coco_train, prefix)
+        # head width gates the label space: cap to the first num_classes
+        # categories (json order) so tiny heads meet consistent labels
+        if len(train_set.classes) > cfg.num_classes:
+            classes = train_set.classes[: cfg.num_classes]
+            train_set = CocoDataset(args.coco_train, prefix, classes=classes)
+        classes = train_set.classes
+        val = None
+        if not args.no_validate and args.coco_val:
+            val = CocoDataset(args.coco_val,
+                              args.coco_img_prefix_val or prefix,
+                              classes=classes, test_mode=True)
+
+        def eval_fn(results, anns):
+            out = eval_coco_map(results, anns)
+            return {"mAP": out["mAP"], "mAP_50": out["mAP_50"],
+                    "mAP_75": out["mAP_75"]}
+    else:
+        if not args.voc07:
+            raise SystemExit("one of --voc07 or --coco-train is required")
+        # shrunken --mini heads have < 20 classes: restrict the dataset to the
+        # matching class subset (unknown names are skipped by the parser)
+        classes = VOC_CLASSES[: cfg.num_classes]
+        datasets = [VOCDataset(os.path.join(args.voc07, "ImageSets/Main/trainval.txt"),
+                               args.voc07, classes=classes)]
+        if args.voc12:
+            datasets.append(VOCDataset(
+                os.path.join(args.voc12, "ImageSets/Main/trainval.txt"), args.voc12,
+                classes=classes))
+        train_set = ConcatVOC(datasets)
+        val = None
+        if not args.no_validate:
+            test_txt = os.path.join(args.voc07, "ImageSets/Main/test.txt")
+            if os.path.exists(test_txt):
+                val = VOCDataset(test_txt, args.voc07, test_mode=True, classes=classes)
+
+        def eval_fn(results, anns):
+            return {"mAP": eval_map(results, anns, iou_thr=0.5,
+                                    mode="11points")["mAP"]}
 
     mean = getattr(cfg, "img_mean", (123.675, 116.28, 103.53))
     std = getattr(cfg, "img_std", (58.395, 57.12, 57.375))
@@ -261,8 +303,8 @@ def main():
                     dets, cfg.num_classes, np.asarray(ebatch.valid)))
                 order.extend(idx.tolist())
             anns = [val.get_ann_info(i) for i in order]
-            row["mAP"] = eval_map(results, anns, iou_thr=0.5, mode="11points")["mAP"]
-            print(f"epoch {epoch}: VOC mAP {row['mAP']:.4f}", flush=True)
+            row.update(eval_fn(results, anns))
+            print(f"epoch {epoch}: mAP {row['mAP']:.4f}", flush=True)
         metrics.append(row)
         with open(log_path, "a") as f:
             f.write(json.dumps(row) + "\n")
