@@ -78,6 +78,10 @@ class ALDriver:
         log: Optional[callable] = print,
         num_devices: Optional[int] = None,
         cache_dir: Optional[str] = "auto",
+        distributed: bool = False,
+        coordinator: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None,
     ):
         """num_devices > 1 runs data-parallel over a 'data' mesh: params
         replicated, train batches and pool-scoring batches sharded on the
@@ -90,7 +94,20 @@ class ALDriver:
         so eval/score sweeps decode each JPEG ONCE per experiment and
         every later sweep memory-maps the prepared canvas — the
         reference re-decodes per epoch per cycle (datasets/pipelines/
-        loading.py:12)."""
+        loading.py:12).
+
+        distributed=True is the multi-HOST axis (the reference's
+        --launcher {pytorch,slurm,mpi} DDP mode, tools/
+        train_RetinaNet.py:68,117-123): jax.distributed is initialized
+        (coordinator/num_processes/process_id for manual launches,
+        auto-discovered on Cloud TPU), the TRAIN mesh spans every
+        process's devices (grads psum over ICI+DCN), and the pool/eval
+        sweeps are rank-sliced — each process scores its strided slice
+        on its local devices and results merge through one gather
+        (apis/test.py:197-315). Loaders stay bit-identical across ranks
+        (same seeds), so the global train batch is assembled from
+        identical host copies and the selection matches the
+        single-process run exactly. Only rank 0 writes artifacts."""
         self.cfg = model_cfg
         self.tcfg = train_cfg
         self.al = al_cfg
@@ -118,7 +135,24 @@ class ALDriver:
         self.log = log or (lambda *a, **k: None)
         self.rng = np.random.RandomState(train_cfg.seed)
 
+        self.distributed = distributed
+        self.proc_id, self.proc_count = 0, 1
+        if distributed:
+            from ..parallel import init_distributed
+
+            info = init_distributed(coordinator, num_processes, process_id)
+            self.proc_id = info["process_index"]
+            self.proc_count = info["process_count"]
+            if num_devices is None:
+                num_devices = info["global_devices"]
+            self.log(f"distributed: process {self.proc_id}/{self.proc_count}, "
+                     f"{info['local_devices']} local / "
+                     f"{info['global_devices']} global devices")
+        self.is_main = self.proc_id == 0
+
         self.mesh = None
+        self._local_mesh_built = False
+        self._local_mesh = None
         if num_devices is not None and num_devices > 1:
             from ..parallel import make_mesh
 
@@ -142,6 +176,11 @@ class ALDriver:
             cache_dir = os.path.join(paths.work_dir, "canvas_cache")
         self.cache_dir = cache_dir
         self._caches: Dict[str, object] = {}
+
+        if self.proc_count > 1:
+            from ..parallel import barrier
+
+            barrier("driver_ready")  # absorb import/dataset-build skew
 
         self._train_steps: Dict[str, callable] = {}
         self._score_steps: Dict[str, callable] = {}
@@ -222,6 +261,12 @@ class ALDriver:
             seed=run_seed, augment_fn=self.augment_fn,
         )
         n_inner = self.tcfg.epoch_ratio[0]
+        if self.proc_count > 1:
+            # align ranks before the compile-heavy first step: the CPU
+            # Gloo rendezvous window is ~30 s (parallel/dist.barrier)
+            from ..parallel import barrier
+
+            barrier("train_run")
         run_iter = 0  # warmup restarts per run (each run is a new runner)
         if start_epoch:
             # mid-cycle resume: replay the consumed RNG + warmup counter
@@ -270,7 +315,7 @@ class ALDriver:
                 "img_per_s": round(n_iter * self.tcfg.batch_size / max(dt, 1e-9), 2),
             })
             ival = self.tcfg.ckpt_interval
-            if ival and ((inner + 1) % ival == 0 or inner + 1 == n_inner):
+            if self.is_main and ival and ((inner + 1) % ival == 0 or inner + 1 == n_inner):
                 from ..engine.checkpoint import save_train_state
 
                 save_train_state(
@@ -284,6 +329,8 @@ class ALDriver:
         """Append a jsonl train-log record (the TextLoggerHook analog);
         forwarded to wandb when a run is active (the reference's optional
         wandb tracking, tools/train_SSD.py:109-121)."""
+        if not self.is_main:
+            return
         os.makedirs(self.paths.work_dir, exist_ok=True)
         with open(os.path.join(self.paths.work_dir, "train_log.jsonl"), "a") as f:
             f.write(json.dumps(entry) + "\n")
@@ -297,7 +344,10 @@ class ALDriver:
 
     def _canvas_cache(self, name: str, dataset):
         """Per-dataset decoded-canvas cache (pool + val differ), built
-        lazily and kept open across cycles."""
+        lazily and kept open across cycles. Multi-host: per-rank subdir
+        (each rank only ever sweeps its slice; avoids create races)."""
+        if self.proc_count > 1:
+            name = f"{name}_r{self.proc_id}"
         if name not in self._caches:
             from ..data import open_canvas_cache
 
@@ -306,18 +356,49 @@ class ALDriver:
                 cd, dataset, self.pipeline, log=self.log)
         return self._caches[name]
 
+    def _sweep_setup(self, dataset, variables):
+        """Execution context for a pool/eval sweep: (indices, variables,
+        mesh). Single-process: the full range over the data mesh.
+        Multi-process: this rank's strided slice on its LOCAL devices
+        (the reference's rank-sliced multi_gpu sweep, apis/
+        test.py:197-240) with a host copy of the replicated params."""
+        n = len(dataset)
+        if self.proc_count == 1:
+            return np.arange(n), variables, self.mesh
+        from ..parallel import make_local_mesh, rank_indices
+
+        if not self._local_mesh_built:
+            self._local_mesh = make_local_mesh()
+            self._local_mesh_built = True
+        idx = rank_indices(n, self.proc_id, self.proc_count)
+        host_vars = jax.tree.map(np.asarray, variables)
+        return idx, host_vars, self._local_mesh
+
     def evaluate(self, variables) -> float:
         assert self.val is not None
-        loader = EvalLoader(self.val, np.arange(len(self.val)), self.pipeline,
+        idx, svars, mesh = self._sweep_setup(self.val, variables)
+        loader = EvalLoader(self.val, idx, self.pipeline,
                             batch_size=self.al.score_batch_size,
                             cache=self._canvas_cache("val", self.val))
+        shard = (lambda b: b)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            shard = lambda b: shard_batch(b, mesh)
         results, annotations = [], []
         order = []
-        for orientation, batch, idx in loader:
-            dets = self._eval_step(orientation)(variables, self._shard(batch))
+        for orientation, batch, bidx in loader:
+            dets = self._eval_step(orientation)(svars, shard(batch))
             results.extend(detections_to_per_class(dets, self.cfg.num_classes,
                                                    np.asarray(batch.valid)))
-            order.extend(idx.tolist())
+            order.extend(bidx.tolist())
+        if self.proc_count > 1:
+            from ..parallel import collect_objects
+
+            parts = collect_objects(self.paths.work_dir, "eval",
+                                    (results, order))
+            results = [r for res, _ in parts for r in res]
+            order = [i for _, o in parts for i in o]
         annotations = [self.val.get_ann_info(i) for i in order]
         out = eval_map(results, annotations, iou_thr=0.5, mode="11points")
         return out["mAP"]
@@ -336,12 +417,13 @@ class ALDriver:
         apis/train_Lambda.py:72-75). resume_cycle remains the coarser
         cycle-granular restart (ResumeCycle)."""
         os.makedirs(self.paths.work_dir, exist_ok=True)
-        try:
-            from ..utils.env import save_code
+        if self.is_main:
+            try:
+                from ..utils.env import save_code
 
-            save_code(self.paths.work_dir)  # SaveCode (functions.py:103-116)
-        except Exception:
-            pass  # snapshotting must never block training
+                save_code(self.paths.work_dir)  # SaveCode (functions.py:103-116)
+            except Exception:
+                pass  # snapshotting must never block training
         mid = None  # (progress dict) for mid-cycle resume
         if resume_from:
             d = resume_from if os.path.isdir(resume_from) else os.path.dirname(resume_from)
@@ -350,7 +432,8 @@ class ALDriver:
             mid["dir"] = d
             resume_cycle = mid["cycle"]
         x_l, x_u, x_all = init_split(len(self.pool), self.al.x_l_0_size, self.rng)
-        save_cycle_state(self.paths.work_dir, 0, x_l, x_u)
+        if self.is_main:
+            save_cycle_state(self.paths.work_dir, 0, x_l, x_u)
         resumed = resume_cycle < 0
 
         for cycle in self.al.cycles:
@@ -407,35 +490,44 @@ class ALDriver:
                 mAP = self.evaluate(self._variables(state))
                 self.log(f"  cycle {cycle} VOC mAP: {mAP:.4f}")
                 self.metrics.append({"cycle": cycle, "mAP": mAP, "n_labeled": int(len(x_l))})
-                with open(os.path.join(self.paths.work_dir, "metrics.json"), "w") as f:
-                    json.dump(self.metrics, f, indent=2)
+                if self.is_main:
+                    with open(os.path.join(self.paths.work_dir, "metrics.json"), "w") as f:
+                        json.dump(self.metrics, f, indent=2)
 
             import aod_meh_hua_tpu
 
             from ..data.voc import VOC_CLASSES
             from ..utils.env import collect_env
 
-            save_cycle_checkpoint(
-                self.paths.save_dir, self.name, cycle, self.tcfg.epoch_ratio[0],
-                self._variables(state),
-                meta={"version": aod_meh_hua_tpu.__version__,
-                      "CLASSES": list(VOC_CLASSES), "cycle": cycle,
-                      "n_labeled": int(len(x_l)),
-                      "family": getattr(self.cfg, "family", "retinanet"),
-                      "env": collect_env()},
-            )
+            if self.is_main:
+                save_cycle_checkpoint(
+                    self.paths.save_dir, self.name, cycle, self.tcfg.epoch_ratio[0],
+                    self._variables(state),
+                    meta={"version": aod_meh_hua_tpu.__version__,
+                          "CLASSES": list(VOC_CLASSES), "cycle": cycle,
+                          "n_labeled": int(len(x_l)),
+                          "family": getattr(self.cfg, "family", "retinanet"),
+                          "env": collect_env()},
+                )
 
             if cycle != self.al.cycles[-1]:
                 self.log("  scoring pool ...")
-                loader = EvalLoader(self.pool, np.arange(len(self.pool)), self.pipeline,
+                sidx, svars, smesh = self._sweep_setup(
+                    self.pool, self._variables(state))
+                loader = EvalLoader(self.pool, sidx, self.pipeline,
                                     batch_size=self.al.score_batch_size,
                                     cache=self._canvas_cache("pool", self.pool))
                 t0 = time.time()
                 unc, mconf = score_pool(
-                    self.model, self._variables(state), self.cfg, loader,
+                    self.model, svars, self.cfg, loader,
                     len(self.pool), rng=self.rng, steps=self._score_steps_cache(),
-                    mesh=self.mesh,
+                    mesh=smesh,
                 )
+                if self.proc_count > 1 and self.cfg.hua.pool != "Random":
+                    from ..parallel import allgather_sum
+
+                    unc = allgather_sum(unc)
+                    mconf = allgather_sum(mconf)
                 dt = time.time() - t0
                 self.log(f"  pool scored: {len(self.pool)} imgs in {dt:.1f}s "
                          f"({len(self.pool) / dt:.1f} img/s)")
@@ -444,7 +536,8 @@ class ALDriver:
                     zero_rate=self.al.zero_rate, max_conf=mconf,
                     use_max_conf=self.al.use_max_conf,
                 )
-                save_cycle_state(self.paths.work_dir, cycle + 1, x_l, x_u, unc)
+                if self.is_main:
+                    save_cycle_state(self.paths.work_dir, cycle + 1, x_l, x_u, unc)
         return self.metrics
 
     def _score_steps_cache(self):

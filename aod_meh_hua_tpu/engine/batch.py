@@ -62,7 +62,19 @@ class ConstArg:
                     and getattr(sh, "mesh", None) is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                arr = jax.device_put(self.host, NamedSharding(sh.mesh, PartitionSpec()))
+                rep = NamedSharding(sh.mesh, PartitionSpec())
+                if len({d.process_index for d in sh.device_set}) > 1:
+                    # multi-host mesh: device_put would run a cross-process
+                    # value-equality collective at an unsynchronized point
+                    # (deadlock risk); every rank holds the identical host
+                    # table, so contribute addressable shards directly
+                    import numpy as _np
+
+                    host = _np.asarray(self.host)
+                    arr = jax.make_array_from_callback(
+                        host.shape, rep, lambda idx: host[idx])
+                else:
+                    arr = jax.device_put(self.host, rep)
             elif sh is not None:
                 arr = jax.device_put(self.host, next(iter(sh.device_set)))
             else:

@@ -48,7 +48,7 @@ from ..ops.nms import batched_multiclass_nms
 from .batch import Batch, ConstArg, EvalBatch, prepare_images
 from .train import TrainState
 
-_INF = jnp.float32(1e30)
+_INF = np.float32(1e30)  # host scalar: a jnp constant here would init the backend at import
 EPS = 1e-12
 
 

@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e30)
+_INF = np.float32(1e30)  # host scalar: a jnp constant here would init the backend at import
 
 
 def _augment_row(i, row_valid_i, u, v, match_col, cost):

@@ -7,4 +7,7 @@ replicated, batch axis sharded over a 'data' mesh axis; XLA inserts the
 gradient psum and the score gather rides ICI.
 """
 
-from .mesh import make_mesh, shard_batch, replicate, data_sharding
+from .mesh import (make_mesh, make_local_mesh, mesh_is_multiprocess,
+                   shard_batch, replicate, data_sharding)
+from .dist import rank_indices, allgather_sum, barrier, collect_objects
+from .launch import init_distributed

@@ -27,18 +27,44 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_local_mesh(axis: str = "data") -> Optional[Mesh]:
+    """Mesh over THIS process's devices only, for per-rank work (the
+    rank-sliced pool/eval sweeps in multi-host mode). None when the
+    process has a single device (plain jit is enough)."""
+    devices = jax.local_devices()
+    if len(devices) < 2:
+        return None
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading-axis sharding for batches."""
     return NamedSharding(mesh, P(axis))
 
 
+def _put(x: Any, sh: NamedSharding, multiprocess: bool):
+    if not multiprocess:
+        return jax.device_put(x, sh)
+    # multi-host: device_put cannot target non-addressable devices; every
+    # process holds the identical host value (same-seed loaders /
+    # identical init), so each contributes its addressable shards
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place every leaf with its leading axis split over the mesh."""
     sh = data_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    mp = mesh_is_multiprocess(mesh)
+    return jax.tree.map(lambda x: _put(x, sh, mp), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (params / optimizer state)."""
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    mp = mesh_is_multiprocess(mesh)
+    return jax.tree.map(lambda x: _put(x, sh, mp), tree)

@@ -56,6 +56,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if os.environ.get("AOD_CPU_DEVICES"):
+            # virtual CPU device count; works under jax.distributed too
+            # (XLA_FLAGS --xla_force_host_platform_device_count does not)
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["AOD_CPU_DEVICES"]))
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
 

@@ -63,6 +63,13 @@ def parse_args():
                     help="data-parallel over a 'data' mesh (params "
                          "replicated, GLOBAL batch sharded) — the "
                          "reference's DDP mode for its upstream families")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: init jax.distributed; the train mesh "
+                         "spans every process's devices and eval is "
+                         "rank-sharded with a cross-process gather")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     return ap.parse_args()
 
 
@@ -157,8 +164,26 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if os.environ.get("AOD_CPU_DEVICES"):
+            # virtual CPU device count; works under jax.distributed too
+            # (XLA_FLAGS --xla_force_host_platform_device_count does not)
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["AOD_CPU_DEVICES"]))
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
+
+    proc_id, proc_count = 0, 1
+    if args.distributed:
+        from aod_meh_hua_tpu.parallel import init_distributed
+
+        info = init_distributed(args.coordinator, args.num_processes,
+                                args.process_id)
+        proc_id, proc_count = info["process_index"], info["process_count"]
+        if args.num_devices is None:
+            args.num_devices = info["global_devices"]
+        print(f"distributed: process {proc_id}/{proc_count}, "
+              f"{info['local_devices']} local devices", flush=True)
+    is_main = proc_id == 0
 
     from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
     from aod_meh_hua_tpu.data import (
@@ -291,8 +316,15 @@ def main():
 
         if val is not None and (epoch + 1) % args.eval_interval == 0:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
+            vidx = np.arange(len(val))
+            if proc_count > 1:
+                # rank-sharded eval + gather (multi_gpu_test analog)
+                from aod_meh_hua_tpu.parallel import rank_indices
+
+                vidx = rank_indices(len(val), proc_id, proc_count)
+                variables = jax.tree.map(np.asarray, variables)
             results, order = [], []
-            vloader = EvalLoader(val, np.arange(len(val)), pipe,
+            vloader = EvalLoader(val, vidx, pipe,
                                  batch_size=max(args.batch_size, 4))
             for orientation, ebatch, idx in vloader:
                 if orientation not in eval_steps:
@@ -302,22 +334,31 @@ def main():
                 results.extend(detections_to_per_class(
                     dets, cfg.num_classes, np.asarray(ebatch.valid)))
                 order.extend(idx.tolist())
+            if proc_count > 1:
+                from aod_meh_hua_tpu.parallel import collect_objects
+
+                parts = collect_objects(args.work_dir, f"eval{epoch}",
+                                        (results, order))
+                results = [r for res, _ in parts for r in res]
+                order = [i for _, o in parts for i in o]
             anns = [val.get_ann_info(i) for i in order]
             row.update(eval_fn(results, anns))
             print(f"epoch {epoch}: mAP {row['mAP']:.4f}", flush=True)
         metrics.append(row)
-        with open(log_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
+        if is_main:
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    ckpt = os.path.join(args.work_dir, f"{args.family}_final.ckpt")
-    save_checkpoint(ckpt, variables)
-    with open(os.path.join(args.work_dir, f"{args.family}_meta.json"), "w") as f:
-        json.dump({"family": args.family, "epochs": args.epochs,
-                   "dtype": args.dtype}, f)
-    with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
-    print(f"saved {ckpt}")
+    if is_main:
+        ckpt = os.path.join(args.work_dir, f"{args.family}_final.ckpt")
+        save_checkpoint(ckpt, variables)
+        with open(os.path.join(args.work_dir, f"{args.family}_meta.json"), "w") as f:
+            json.dump({"family": args.family, "epochs": args.epochs,
+                       "dtype": args.dtype}, f)
+        with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        print(f"saved {ckpt}")
 
 
 if __name__ == "__main__":

@@ -62,6 +62,15 @@ def parse_args():
                         "schedule (the reference's ismini flag, "
                         "tools/train_RetinaNet.py:32)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: init jax.distributed, train over the "
+                        "global mesh, rank-shard the pool/eval sweeps "
+                        "(the reference's --launcher DDP mode)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (manual launches; "
+                        "auto-discovered on Cloud TPU)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--canvas-cache-dir", default="auto",
                    help="decoded-canvas cache root shared across runs "
                         "('auto' = <work_dir>/canvas_cache, 'none' = off)")
@@ -78,6 +87,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if os.environ.get("AOD_CPU_DEVICES"):
+            # virtual CPU device count; works under jax.distributed too
+            # (XLA_FLAGS --xla_force_host_platform_device_count does not)
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["AOD_CPU_DEVICES"]))
     # persistent compile cache: per-cycle re-jits and reruns skip compiles
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
@@ -134,7 +148,9 @@ def main():
     paths = ALPaths(voc07=args.voc07, voc12=args.voc12, work_dir=args.work_dir)
     driver = ALDriver(model_cfg, train_cfg, al_cfg, paths, pipeline=pipeline,
                       validate=not args.no_validate, num_devices=args.num_devices,
-                      cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir)
+                      cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir,
+                      distributed=args.distributed, coordinator=args.coordinator,
+                      num_processes=args.num_processes, process_id=args.process_id)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import attach_pretrained_backbone
 

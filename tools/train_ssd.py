@@ -49,6 +49,15 @@ def parse_args():
     p.add_argument("--mini", action="store_true",
                    help="smoke mode: thin VGG + 1-epoch schedule")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: init jax.distributed, train over the "
+                        "global mesh, rank-shard the pool/eval sweeps "
+                        "(the reference's --launcher DDP mode)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (manual launches; "
+                        "auto-discovered on Cloud TPU)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--canvas-cache-dir", default="auto",
                    help="decoded-canvas cache root ('auto' = <work_dir>/"
                         "canvas_cache, 'none' = off)")
@@ -65,6 +74,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if os.environ.get("AOD_CPU_DEVICES"):
+            # virtual CPU device count; works under jax.distributed too
+            # (XLA_FLAGS --xla_force_host_platform_device_count does not)
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["AOD_CPU_DEVICES"]))
     # persistent compile cache: per-cycle re-jits and reruns skip compiles
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
@@ -126,7 +140,9 @@ def main():
     driver = ALDriver(model_cfg, train_cfg, al_cfg, paths,
                       validate=not args.no_validate, name="ssd_meh",
                       num_devices=args.num_devices,
-                      cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir)
+                      cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir,
+                      distributed=args.distributed, coordinator=args.coordinator,
+                      num_processes=args.num_processes, process_id=args.process_id)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import load_torch_state_dict
         from aod_meh_hua_tpu.models.vgg import convert_mmcv_vgg16
