@@ -19,6 +19,8 @@ from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
 from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_yolov3
 from .detr import DETR, build_detr, init_detr, sine_positional_encoding
 from .centernet import CenterNet, build_centernet, init_centernet
+from .cornernet import CornerNet, init_cornernet
+from .reppoints import RepPoints, init_reppoints
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof
 from .foveabox import FoveaBox, build_foveabox, init_foveabox

@@ -39,6 +39,7 @@ from .points import (
 )
 from .dirichlet import dirichlet_mutual_information, dirichlet_mi_sampled
 from .hungarian import hungarian_match
+from .corner_pool import corner_pool
 from .hua import (
     object_membership,
     lambda_rescale,

@@ -984,6 +984,92 @@ class CenterNetConfig:
 
 
 @dataclass(frozen=True)
+class RepPointsConfig(ATSSConfig):
+    """RepPoints moment R50-FPN (reference configs/reppoints/
+    reppoints_moment_r50_fpn_1x_coco.py + dense_heads/
+    reppoints_head.py defaults): point sets via deformable sampling,
+    PointAssigner init stage + MaxIoU refine stage, 'moment' transform."""
+
+    stacked_convs: int = 3
+    point_feat_channels: int = 256
+    num_points: int = 9
+    gradient_mul: float = 0.1
+    point_base_scale: int = 4
+    init_pos_num: int = 1          # PointAssigner(scale=4, pos_num=1)
+    smooth_l1_beta: float = 0.11
+    init_loss_weight: float = 0.5
+    refine_loss_weight: float = 1.0
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100))
+
+    family = "reppoints"
+
+
+@dataclass(frozen=True)
+class CornerNetConfig:
+    """CornerNet Hourglass-104 (reference configs/cornernet/
+    cornernet_hourglass104_mstest_*.py + dense_heads/corner_head.py):
+    paired-corner keypoints with corner pooling, associative
+    embeddings, and soft-NMS."""
+
+    num_classes: int = 20
+    input_size: int = 512          # reference crops 511; /128-divisible here
+    num_stacks: int = 2
+    hourglass_depth: int = 5
+    stage_channels: Tuple[int, ...] = (256, 256, 384, 384, 384, 512)
+    stage_blocks: Tuple[int, ...] = (2, 2, 2, 2, 2, 4)
+    stem_width: int = 128
+    frozen_stages: int = 0         # hourglass trains from scratch, BN live
+    out_stride: int = 4
+    corner_emb_channels: int = 1
+    pull_weight: float = 0.25
+    push_weight: float = 0.25
+    corner_topk: int = 100
+    local_maximum_kernel: int = 3
+    distance_threshold: float = 0.5
+    num_dets: int = 1000
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        score_thr=0.0, max_per_img=100))
+
+    family = "cornernet"
+
+    @property
+    def canvas(self) -> Tuple[int, int]:
+        return (self.input_size, self.input_size)
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Loader-compatibility 1-point generator (corner keypoints;
+        the loss never reads anchor_valid)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=(self.out_stride,), ratios=(1.0,),
+            octave_base_scale=4, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "CornerNetConfig":
+        return self  # square canvas
+
+    def featmap_sizes(self):
+        s = self.input_size // self.out_stride
+        return [(s, s)]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w)]
+
+
+@dataclass(frozen=True)
 class DETRConfig:
     """DETR R50, VOC classes (upstream family the fork keeps registered;
     configs/detr/detr_r50_8x2_150e_coco.py + dense_heads/detr_head.py
@@ -1541,6 +1627,44 @@ def tiny_atss_config(**overrides) -> ATSSConfig:
     )
     base.update(overrides)
     return ATSSConfig(**base)
+
+
+def tiny_reppoints_config(**overrides) -> RepPointsConfig:
+    """A shrunken RepPoints for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        point_feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20,
+                     nms_iou_thr=0.5),
+    )
+    base.update(overrides)
+    return RepPointsConfig(**base)
+
+
+def tiny_cornernet_config(**overrides) -> CornerNetConfig:
+    """A shrunken CornerNet for fast CPU unit tests."""
+    base = dict(
+        input_size=64,
+        num_stacks=1,
+        hourglass_depth=2,
+        stage_channels=(8, 8, 16),
+        stage_blocks=(1, 1, 1),
+        stem_width=8,
+        num_classes=6,
+        max_gt=8,
+        corner_topk=20,
+        num_dets=64,
+        test=TestCfg(score_thr=0.0, max_per_img=20),
+    )
+    base.update(overrides)
+    return CornerNetConfig(**base)
 
 
 def tiny_test_config(**overrides) -> RetinaNetConfig:

@@ -31,7 +31,7 @@ def parse_args():
     ap.add_argument("--family", required=True,
                     choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
                              "yolov3", "detr", "centernet", "sparse_rcnn", "yolof",
-                             "foveabox", "paa"])
+                             "foveabox", "paa", "cornernet", "reppoints"])
     ap.add_argument("--voc07", default=None, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--coco-train", default=None,
@@ -79,13 +79,14 @@ def ap_lr_default():
 
 def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, CenterNetConfig, DETRConfig,
-        FasterRCNNConfig, FCOSConfig, FoveaBoxConfig, GFLConfig,
-        PAAConfig, SparseRCNNConfig, YOLOConfig, YOLOFConfig,
+        ATSSConfig, CascadeRCNNConfig, CenterNetConfig, CornerNetConfig,
+        DETRConfig, FasterRCNNConfig, FCOSConfig, FoveaBoxConfig, GFLConfig,
+        PAAConfig, RepPointsConfig, SparseRCNNConfig, YOLOConfig, YOLOFConfig,
         tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
-        tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
-        tiny_foveabox_config, tiny_gfl_config, tiny_paa_config,
-        tiny_sparse_rcnn_config, tiny_yolo_config, tiny_yolof_config,
+        tiny_cornernet_config, tiny_detr_config, tiny_faster_rcnn_config,
+        tiny_fcos_config, tiny_foveabox_config, tiny_gfl_config,
+        tiny_paa_config, tiny_reppoints_config, tiny_sparse_rcnn_config,
+        tiny_yolo_config, tiny_yolof_config,
     )
 
     full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
@@ -93,7 +94,8 @@ def build(family, mini, dtype):
             "yolov3": YOLOConfig, "detr": DETRConfig,
             "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig,
             "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig,
-            "paa": PAAConfig}
+            "paa": PAAConfig, "cornernet": CornerNetConfig,
+            "reppoints": RepPointsConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
             "atss": tiny_atss_config, "gfl": tiny_gfl_config,
@@ -101,7 +103,8 @@ def build(family, mini, dtype):
             "centernet": tiny_centernet_config,
             "sparse_rcnn": tiny_sparse_rcnn_config,
             "yolof": tiny_yolof_config, "foveabox": tiny_foveabox_config,
-            "paa": tiny_paa_config}
+            "paa": tiny_paa_config, "cornernet": tiny_cornernet_config,
+            "reppoints": tiny_reppoints_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -127,6 +130,14 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
 
         inner = make_yolo_train_step(model, cfg, tx)
+    elif family == "cornernet":
+        from aod_meh_hua_tpu.engine.cornernet import make_cornernet_train_step
+
+        inner = make_cornernet_train_step(model, cfg, tx)
+    elif family == "reppoints":
+        from aod_meh_hua_tpu.engine.reppoints import make_reppoints_train_step
+
+        inner = make_reppoints_train_step(model, cfg, tx)
     elif family == "centernet":
         from aod_meh_hua_tpu.engine.centernet import make_centernet_train_step
 
