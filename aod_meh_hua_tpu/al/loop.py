@@ -544,8 +544,24 @@ class ALDriver:
         if self.cfg.hua.pool == "Random":
             return None
         if not self._score_steps:
+            import dataclasses
+
             from ..engine.score import make_score_step
 
+            score_model, score_cfg = self.model, self.cfg
+            if self.al.int8_scoring:
+                # int8-PTQ backbone for the pool sweep only: same param
+                # tree (models/quant.py), so the trained variables feed
+                # both programs; eval/train keep compute_dtype
+                if getattr(self.cfg, "family", "retinanet") != "retinanet":
+                    raise ValueError(
+                        "int8_scoring is a RetinaNet-backbone mode "
+                        f"(family={getattr(self.cfg, 'family', '?')!r})")
+                from ..models import build_retinanet
+
+                score_cfg = dataclasses.replace(self.cfg, backbone_int8=True)
+                score_model = build_retinanet(score_cfg)
             for o in ORIENTATIONS:
-                self._score_steps[o] = make_score_step(self.model, self.cfg.for_orientation(o))
+                self._score_steps[o] = make_score_step(
+                    score_model, score_cfg.for_orientation(o))
         return self._score_steps

@@ -74,7 +74,8 @@ class CanvasCache:
         n = len(dataset)
 
         # dataset-order row assignment per orientation
-        orient = np.array([bool(dataset.aspect_flag(i)) for i in range(n)])
+        # dtype=bool keeps the n=0 case indexable (np.array([]) is float64)
+        orient = np.array([bool(dataset.aspect_flag(i)) for i in range(n)], bool)
         self._is_land = orient
         self._row = np.zeros(n, np.int64)
         self._row[orient] = np.arange(int(orient.sum()))

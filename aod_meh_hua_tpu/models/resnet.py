@@ -36,33 +36,45 @@ def channel_dropout(x, rate: float, deterministic: bool):
     return nn.Dropout(rate, broadcast_dims=(1, 2), deterministic=deterministic)(x)
 
 
+def _make_conv(int8: bool, features, kernel_size, strides, padding, dtype, name):
+    """nn.Conv(use_bias=False) or its int8-PTQ drop-in (same param tree)."""
+    if int8:
+        from .quant import Int8Conv
+
+        return Int8Conv(features, kernel_size, strides=strides,
+                        padding=padding, dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   use_bias=False, dtype=dtype, name=name)
+
+
 class Bottleneck(nn.Module):
     planes: int  # bottleneck width; output is 4 * planes
     stride: int = 1
     downsample: bool = False
     mc_dropout: float = 0.0
+    int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         drop = lambda v: channel_dropout(v, self.mc_dropout, deterministic=False)
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = _make_conv(self.int8, self.planes, (1, 1), (1, 1), ((0, 0), (0, 0)),
+                       self.dtype, "conv1")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = drop(nn.relu(y))
-        y = nn.Conv(
-            self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2",
-        )(y)
+        y = _make_conv(self.int8, self.planes, (3, 3),
+                       (self.stride, self.stride), ((1, 1), (1, 1)),
+                       self.dtype, "conv2")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         y = drop(nn.relu(y))
-        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = _make_conv(self.int8, self.planes * 4, (1, 1), (1, 1),
+                       ((0, 0), (0, 0)), self.dtype, "conv3")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
         if self.downsample:
-            identity = nn.Conv(
-                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
-            )(x)
+            identity = _make_conv(self.int8, self.planes * 4, (1, 1),
+                                  (self.stride, self.stride), ((0, 0), (0, 0)),
+                                  self.dtype, "downsample_conv")(x)
             identity = nn.BatchNorm(
                 use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="downsample_bn"
             )(identity)
@@ -124,6 +136,7 @@ class ResNet(nn.Module):
     stem_width: int = 64
     mc_dropout: float = 0.0
     stem_s2d: bool = False
+    int8: bool = False  # dynamic-PTQ scoring mode (models/quant.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,10 +145,8 @@ class ResNet(nn.Module):
         if self.stem_s2d:
             x = _StemConvS2D(self.stem_width, self.dtype, name="conv1")(x)
         else:
-            x = nn.Conv(
-                self.stem_width, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                use_bias=False, dtype=self.dtype, name="conv1",
-            )(x)
+            x = _make_conv(self.int8, self.stem_width, (7, 7), (2, 2),
+                           ((3, 3), (3, 3)), self.dtype, "conv1")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = channel_dropout(nn.relu(x), self.mc_dropout, deterministic=False)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -147,7 +158,7 @@ class ResNet(nn.Module):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 x = Bottleneck(
                     planes=planes, stride=stride, downsample=(b == 0),
-                    mc_dropout=self.mc_dropout,
+                    mc_dropout=self.mc_dropout, int8=self.int8,
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x)
             outs.append(x)

@@ -110,6 +110,10 @@ class RetinaNetConfig:
     # stem as space-to-depth 4x4 conv (mathematically identical to the
     # 7x7/2 conv, same param layout; better MXU utilization on TPU)
     stem_s2d: bool = False
+    # backbone convs as dynamic int8 PTQ (models/quant.py) — SCORING/EVAL
+    # mode only (v5e int8 MXU peak is 2x bf16); gated by the acquisition
+    # parity test before any production use
+    backbone_int8: bool = False
     test: TestCfg = field(default_factory=TestCfg)
     hua: HUACfg = field(default_factory=HUACfg)
 
@@ -1138,6 +1142,83 @@ class DETRConfig:
 
 
 @dataclass(frozen=True)
+class DeformableDETRConfig:
+    """Deformable DETR R50, VOC classes (configs/deformable_detr/
+    deformable_detr_r50_16x2_50e_coco.py + deformable_detr_head.py +
+    mmcv MultiScaleDeformableAttention defaults; as_two_stage=False,
+    with_box_refine=False)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    # transformer (embed 256, 8 heads, FFN 1024, 6+6, 300 queries,
+    # 4 levels x 4 sampling points)
+    embed_dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 1024
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    num_queries: int = 300
+    num_reg_fcs: int = 2
+    num_levels: int = 4
+    num_points: int = 4
+    dropout: float = 0.1
+    pe_offset: float = -0.5      # SinePositionalEncoding(offset=-0.5)
+    # sigmoid focal cls (gamma 2, alpha 0.25, weight 2.0) + L1 5 + GIoU 2;
+    # the matcher reuses the same weights (FocalLossCost/BBoxL1Cost/IoUCost)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    cls_weight: float = 2.0
+    l1_weight: float = 5.0
+    giou_weight: float = 2.0
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    # test_cfg = dict(max_per_img=100), sigmoid scores, no NMS
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        score_thr=0.0, max_per_img=100))
+
+    family = "deformable_detr"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Loader-compatibility 1-point generator (query-based family;
+        the loss never reads anchor_valid — see FCOSConfig note)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=(32,), ratios=(1.0,),
+            octave_base_scale=8, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "DeformableDETRConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        # loader-compat shim paired with the 1-point generator above;
+        # the model derives its real 4-level shapes from the tensors
+        h, w = self.canvas
+        return [(h // 32, w // 32)]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w)]
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimizer/schedule (Config_RetinaNet.py:89-94 + driver overrides)."""
 
@@ -1182,6 +1263,11 @@ class ALConfig:
     # reference's scorer builds its own dataloader over cfg.data.test,
     # tools/train_RetinaNet.py:221-246); 64 is the bench.py sweet spot
     score_batch_size: int = 64
+    # run the pool-scoring backbone in dynamic-int8 PTQ (models/quant.py;
+    # v5e int8 MXU peak is 2x bf16). SCORING only — train/eval stay in
+    # compute_dtype. Gated by the acquisition parity test
+    # (tests/test_learnability.py::test_int8_scoring_preserves_acquisition)
+    int8_scoring: bool = False
 
 
 def _cfg_get(ns: dict, path: str, default=None):
@@ -1591,6 +1677,27 @@ def tiny_detr_config(**overrides) -> DETRConfig:
     )
     base.update(overrides)
     return DETRConfig(**base)
+
+
+def tiny_deformable_detr_config(**overrides) -> DeformableDETRConfig:
+    """A shrunken Deformable DETR for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        embed_dim=32,
+        num_heads=4,
+        ffn_dim=64,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        num_queries=12,
+        num_points=2,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(score_thr=0.0, max_per_img=12),
+    )
+    base.update(overrides)
+    return DeformableDETRConfig(**base)
 
 
 def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:

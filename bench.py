@@ -172,6 +172,9 @@ def main():
                     help="tiny model (plumbing smoke test, not a benchmark)")
     ap.add_argument("--fast-topk", action="store_true",
                     help="approx_max_k candidate selection (recall ~0.99)")
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the dynamic-int8 PTQ scoring backbone "
+                         "(models/quant.py; v5e int8 MXU peak = 2x bf16)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--train-iters", type=int, default=12,
                     help="fused train-step iterations (0 = skip; default on "
@@ -216,28 +219,42 @@ def main():
     # nonsense. Chain each iteration on the previous output (a non-
     # foldable zero derived from it feeds the next images) and fetch the
     # final scalar, so the measured wall covers N REAL executions.
-    def chained_sweep(n):
+    def chained_sweep(n, sweep_step=None):
+        sweep_step = sweep_step or step
         bt = batch
         base = batch.images
         u = mc_ = None
         for _ in range(n):
-            u, mc_ = step(variables, bt)
+            u, mc_ = sweep_step(variables, bt)
             dep = jnp.where(jnp.isnan(u.sum()), 1.0, 0.0)  # runtime 0
             bt = bt._replace(images=base + dep)
         return float(np.asarray(u.sum()) + np.asarray(mc_.sum()))
 
-    chained_sweep(args.warmup)  # compile + warm
-    t0 = time.perf_counter()
-    chained_sweep(args.iters)
-    dt = time.perf_counter() - t0
+    def timed(sweep_step=None):
+        chained_sweep(args.warmup, sweep_step)  # compile + warm
+        t0 = time.perf_counter()
+        chained_sweep(args.iters, sweep_step)
+        return b * args.iters / (time.perf_counter() - t0)
 
-    img_s = b * args.iters / dt
+    img_s = timed()
     out = {
         "metric": "pool_scoring_throughput",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / (TARGET_MULTIPLIER * REFERENCE_A100_IMG_S), 3),
     }
+    if args.int8:
+        from aod_meh_hua_tpu.models import build_retinanet
+
+        cfg8 = replace(cfg, backbone_int8=True)
+        step8 = make_score_step(build_retinanet(cfg8), cfg8)
+        img8_s = timed(step8)
+        out["int8"] = {
+            "metric": "pool_scoring_throughput_int8_backbone",
+            "value": round(img8_s, 2),
+            "unit": "images/sec/chip",
+            "speedup_vs_main": round(img8_s / img_s, 3),
+        }
     if args.train_iters:
         out["train"] = bench_train(model, variables, cfg, args)
     if args.e2e:

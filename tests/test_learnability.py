@@ -151,6 +151,54 @@ def test_bf16_scoring_preserves_fp32_acquisition(trained):
     assert abs(mAP16 - metrics[0]["mAP"]) < 0.05, (mAP16, metrics[0]["mAP"])
 
 
+def test_int8_scoring_preserves_acquisition(trained):
+    """Dynamic-int8 PTQ backbone (models/quant.py, the VERDICT-r2 perf
+    lever) on the TRAINED model reproduces the fp32 acquisition: same
+    selected images up to genuine boundary contention, eval-free (int8
+    is a SCORING-only mode). This is the gate the int8 bench figure and
+    the --int8-scoring CLI flag rest on."""
+    import jax
+    from dataclasses import replace
+
+    from aod_meh_hua_tpu.al.uncertainty import score_pool
+    from aod_meh_hua_tpu.data import EvalLoader
+    from aod_meh_hua_tpu.data.splits import update_labeled_set
+    from aod_meh_hua_tpu.engine.checkpoint import cycle_ckpt_path, load_checkpoint
+    from aod_meh_hua_tpu.models import build_retinanet, init_retinanet
+
+    driver, cfg, pipe, paths, metrics = trained
+    model32, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+    variables = load_checkpoint(
+        cycle_ckpt_path(paths.save_dir, "retinanet_meh", 0, 20), variables)
+    # identical param tree by design (models/quant.py Int8Conv): the
+    # fp32 checkpoint feeds the int8 program unchanged
+    cfg8 = replace(cfg, backbone_int8=True)
+    model8 = build_retinanet(cfg8)
+
+    n = len(driver.pool)
+    loader = EvalLoader(driver.pool, np.arange(n), pipe, batch_size=4)
+    u32, mc32 = score_pool(model32, variables, cfg, loader, n)
+    loader = EvalLoader(driver.pool, np.arange(n), pipe, batch_size=4)
+    u8, mc8 = score_pool(model8, variables, cfg8, loader, n)
+
+    # int8 round-off is coarser than bf16 (per-tensor dynamic activation
+    # scales), but the HUA aggregate of a trained model must stay within
+    # the single-anchor fg-gate allowance used for bf16
+    np.testing.assert_allclose(u8, u32, rtol=0.35, atol=5e-3)
+    rel = np.abs(u8 - u32) / (np.abs(u32) + 1e-9)
+    assert np.median(rel[u32 > 0]) < 0.10, rel
+    sel32 = update_labeled_set(u32, np.arange(n), np.arange(0), 4,
+                               np.random.RandomState(0))[0]
+    sel8 = update_labeled_set(u8, np.arange(n), np.arange(0), 4,
+                              np.random.RandomState(0))[0]
+    diff = np.setxor1d(sel32, sel8)
+    if diff.size:
+        lo, hi = u32[diff].min(), u32[diff].max()
+        assert hi - lo <= 0.35 * max(hi, 1e-9) + 5e-3, (
+            f"int8 reordered separated scores: {diff} -> {u32[diff]}")
+    assert len(np.intersect1d(sel32, sel8)) >= len(sel32) - 1
+
+
 def test_fast_topk_acquisition_parity(trained):
     """test_cfg.fast_topk (approx_max_k candidate selection) preserves
     the trained model's acquisition ranking vs the exact path."""

@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--num-devices", type=int, default=None,
                    help="shard the pool sweep over the first N jax devices")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 PTQ backbone (retinanet hua only; "
+                        "2x bf16 MXU peak on v5e, parity-gated)")
     p.add_argument("--out", default="uncertainty.npy")
     p.add_argument("--seed", type=int, default=20)
     p.add_argument("--cpu", action="store_true")
@@ -134,8 +137,15 @@ def main():
         unc = score_pool_mc_dropout(mc_model, variables, mc_cfg, loader, n,
                                     jax.random.PRNGKey(args.seed), args.passes)
     else:  # hua
-        unc, _ = score_pool(model, variables, cfg, loader, n, rng=rng, progress=True,
-                            mesh=mesh)
+        score_model, score_cfg = model, cfg
+        if args.int8:
+            # same param tree (models/quant.py), so the loaded variables
+            # feed the int8 program directly
+            assert cfg.family != "ssd", "--int8 is a retinanet-backbone mode"
+            score_cfg = dataclasses.replace(cfg, backbone_int8=True)
+            score_model = build_retinanet(score_cfg)
+        unc, _ = score_pool(score_model, variables, score_cfg, loader, n,
+                            rng=rng, progress=True, mesh=mesh)
     dt = time.time() - t0
 
     np.save(args.out, unc)

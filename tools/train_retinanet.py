@@ -54,6 +54,9 @@ def parse_args():
                    help="data-parallel over the first N jax devices "
                         "(the reference's DDP mode, train.py:75-85)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--int8-scoring", action="store_true",
+                   help="pool-scoring backbone in dynamic-int8 PTQ "
+                        "(2x bf16 MXU peak on v5e; parity-gated)")
     p.add_argument("--cycles", type=int, default=None, help="override number of AL cycles")
     p.add_argument("--pretrained", default=None,
                    help="torchvision resnet50 weights (.pth) for backbone init")
@@ -139,7 +142,7 @@ def main():
         **({"ckpt_interval": args.ckpt_interval} if args.ckpt_interval is not None else {}),
     )
     al_cfg = dataclasses.replace(
-        al_cfg, zero_rate=args.zero_rate,
+        al_cfg, zero_rate=args.zero_rate, int8_scoring=args.int8_scoring,
         **({"cycles": tuple(range(args.cycles))} if args.cycles else {}),
         **({"score_batch_size": args.score_batch_size} if args.score_batch_size else {}),
     )
