@@ -31,9 +31,10 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
     from .models import (init_atss, init_cascade_rcnn, init_centernet,
-                         init_cornernet, init_detr, init_faster_rcnn,
-                         init_fcos, init_gfl, init_foveabox, init_reppoints,
-                         init_sparse_rcnn, init_yolof, init_yolov3)
+                         init_cornernet, init_deformable_detr, init_detr,
+                         init_faster_rcnn, init_fcos, init_gfl, init_foveabox,
+                         init_reppoints, init_sparse_rcnn, init_yolof,
+                         init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -52,6 +53,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "paa": init_atss,  # PAA reuses the ATSS model; engine differs
         "cornernet": init_cornernet,
         "reppoints": init_reppoints,
+        "deformable_detr": init_deformable_detr,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -73,6 +75,7 @@ def make_eval_step_for(model, cfg):
     from .engine.fcos import make_fcos_eval_step
     from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
     from .engine.cornernet import make_cornernet_eval_step
+    from .engine.deformable_detr import make_deformable_detr_eval_step
     from .engine.reppoints import make_reppoints_eval_step
 
     fn = {
@@ -92,6 +95,7 @@ def make_eval_step_for(model, cfg):
         "paa": make_paa_eval_step,
         "cornernet": make_cornernet_eval_step,
         "reppoints": make_reppoints_eval_step,
+        "deformable_detr": make_deformable_detr_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

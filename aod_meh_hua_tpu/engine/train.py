@@ -108,7 +108,12 @@ def schedule_lr(tcfg: TrainConfig, outer_epoch: int, inner_epoch: int) -> float:
 def create_train_state(model, variables, tcfg: TrainConfig, frozen_stages: int = 1):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    if getattr(tcfg, "optimizer", "sgd") == "adamw":
+    if getattr(tcfg, "optimizer", "sgd") == "adamw_deform":
+        # AdamW + the deformable-DETR custom_keys lr_mults
+        from .deformable_detr import make_deformable_detr_optimizer
+
+        tx = make_deformable_detr_optimizer(tcfg, params, frozen_stages)
+    elif getattr(tcfg, "optimizer", "sgd") == "adamw":
         from .detr import make_detr_optimizer
 
         tx = make_detr_optimizer(tcfg, params, frozen_stages)

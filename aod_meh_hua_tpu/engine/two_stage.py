@@ -123,6 +123,7 @@ class _RoISample(NamedTuple):
     is_pos: jnp.ndarray        # [S] bool
     valid: jnp.ndarray         # [S] bool
     is_gt: jnp.ndarray         # [S] bool (roi sourced from a gt row)
+    gt_idx: jnp.ndarray        # [S] int32 assigned gt (clipped; pos rows only)
 
 
 def _roi_sample_single(key, props, prop_valid, gt_boxes, gt_labels, gt_valid,
@@ -151,19 +152,21 @@ def _roi_sample_single(key, props, prop_valid, gt_boxes, gt_labels, gt_valid,
     deltas = delta_encode(rois, gt_boxes[gt_idx], stds=stds, eps=1e-6)
     bbox_t = jnp.where(s.is_pos[:, None], deltas, 0.0)
     return _RoISample(rois, labels, jnp.where(s.valid, 1.0, 0.0), bbox_t,
-                      s.is_pos, s.valid, (s.inds < num_gt) & s.valid)
+                      s.is_pos, s.valid, (s.inds < num_gt) & s.valid, gt_idx)
 
 
-def _extract_rois(cfg, feats, rois):
+def _extract_rois(cfg, feats, rois, roi_size: int = None):
     """Batched multi-level RoIAlign: feats per-level [B,H,W,C], rois
-    [B,S,4] -> [B*S, roi, roi, C] (f32)."""
+    [B,S,4] -> [B*S, roi, roi, C] (f32). roi_size overrides rcnn.roi_size
+    (the mask branch extracts at 14, mask_rcnn_r50_fpn.py:56-60)."""
     rc = cfg.rcnn
+    size = rc.roi_size if roi_size is None else roi_size
     lvl_feats = [feats[i] for i in range(len(rc.roi_strides))]
 
     def per_image(*args):
         f = list(args[:-1])
         r = args[-1]
-        return multilevel_roi_align(f, r, rc.roi_strides, rc.roi_size,
+        return multilevel_roi_align(f, r, rc.roi_strides, size,
                                     rc.sampling_ratio, rc.finest_scale)
 
     out = jax.vmap(per_image)(*lvl_feats, rois)  # [B, S, s, s, C]

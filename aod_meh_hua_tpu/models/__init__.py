@@ -20,6 +20,8 @@ from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_
 from .detr import DETR, build_detr, init_detr, sine_positional_encoding
 from .centernet import CenterNet, build_centernet, init_centernet
 from .cornernet import CornerNet, init_cornernet
+from .deformable_detr import (DeformableDETR, build_deformable_detr,
+                              init_deformable_detr)
 from .reppoints import RepPoints, init_reppoints
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof

@@ -40,17 +40,19 @@ from .resnet import ResNet
 def sine_positional_encoding(valid_mask: jnp.ndarray, num_feats: int = 128,
                              temperature: float = 10000.0,
                              scale: float = 2 * math.pi,
-                             eps: float = 1e-6) -> jnp.ndarray:
+                             eps: float = 1e-6,
+                             offset: float = 0.0) -> jnp.ndarray:
     """[B, H, W] bool (True = valid pixel) -> [B, H, W, 2*num_feats].
 
     positional_encoding.py:55-87 with normalize=True; channel layout
     (y-sin/cos interleaved, then x) matches the reference cat order.
+    offset=-0.5 is the Deformable DETR variant (its config).
     """
     not_mask = valid_mask.astype(jnp.float32)
     y_embed = jnp.cumsum(not_mask, axis=1)
     x_embed = jnp.cumsum(not_mask, axis=2)
-    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
-    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    y_embed = (y_embed + offset) / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = (x_embed + offset) / (x_embed[:, :, -1:] + eps) * scale
     i = jnp.arange(num_feats, dtype=jnp.float32)
     dim_t = temperature ** (2.0 * jnp.floor(i / 2.0) / num_feats)
     pos_x = x_embed[..., None] / dim_t

@@ -136,6 +136,8 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.atss import make_atss_train_step
     from aod_meh_hua_tpu.engine.centernet import make_centernet_train_step
     from aod_meh_hua_tpu.engine.cornernet import make_cornernet_train_step
+    from aod_meh_hua_tpu.engine.deformable_detr import \
+        make_deformable_detr_train_step
     from aod_meh_hua_tpu.engine.detr import make_detr_train_step
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
     from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
@@ -150,7 +152,8 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.parallel import make_mesh, replicate, shard_batch
     from aod_meh_hua_tpu.utils.config import (
         TrainConfig, tiny_atss_config, tiny_centernet_config,
-        tiny_cornernet_config, tiny_detr_config, tiny_faster_rcnn_config,
+        tiny_cornernet_config, tiny_deformable_detr_config, tiny_detr_config,
+        tiny_faster_rcnn_config,
         tiny_fcos_config, tiny_foveabox_config,
         tiny_gfl_config, tiny_paa_config, tiny_reppoints_config,
         tiny_sparse_rcnn_config, tiny_yolo_config,
@@ -174,6 +177,7 @@ def test_zoo_families_train_on_mesh():
         (tiny_paa_config(), make_paa_train_step, False),
         (tiny_cornernet_config(), make_cornernet_train_step, False),
         (tiny_reppoints_config(), make_reppoints_train_step, False),
+        (tiny_deformable_detr_config(), make_deformable_detr_train_step, True),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)

@@ -31,7 +31,8 @@ def parse_args():
     ap.add_argument("--family", required=True,
                     choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
                              "yolov3", "detr", "centernet", "sparse_rcnn", "yolof",
-                             "foveabox", "paa", "cornernet", "reppoints"])
+                             "foveabox", "paa", "cornernet", "reppoints",
+                             "deformable_detr"])
     ap.add_argument("--voc07", default=None, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--coco-train", default=None,
@@ -80,10 +81,12 @@ def ap_lr_default():
 def build(family, mini, dtype):
     from aod_meh_hua_tpu.utils.config import (
         ATSSConfig, CascadeRCNNConfig, CenterNetConfig, CornerNetConfig,
-        DETRConfig, FasterRCNNConfig, FCOSConfig, FoveaBoxConfig, GFLConfig,
+        DeformableDETRConfig, DETRConfig, FasterRCNNConfig, FCOSConfig,
+        FoveaBoxConfig, GFLConfig,
         PAAConfig, RepPointsConfig, SparseRCNNConfig, YOLOConfig, YOLOFConfig,
         tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
-        tiny_cornernet_config, tiny_detr_config, tiny_faster_rcnn_config,
+        tiny_cornernet_config, tiny_deformable_detr_config, tiny_detr_config,
+        tiny_faster_rcnn_config,
         tiny_fcos_config, tiny_foveabox_config, tiny_gfl_config,
         tiny_paa_config, tiny_reppoints_config, tiny_sparse_rcnn_config,
         tiny_yolo_config, tiny_yolof_config,
@@ -95,7 +98,8 @@ def build(family, mini, dtype):
             "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig,
             "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig,
             "paa": PAAConfig, "cornernet": CornerNetConfig,
-            "reppoints": RepPointsConfig}
+            "reppoints": RepPointsConfig,
+            "deformable_detr": DeformableDETRConfig}
     tiny = {"faster_rcnn": tiny_faster_rcnn_config,
             "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
             "atss": tiny_atss_config, "gfl": tiny_gfl_config,
@@ -104,7 +108,8 @@ def build(family, mini, dtype):
             "sparse_rcnn": tiny_sparse_rcnn_config,
             "yolof": tiny_yolof_config, "foveabox": tiny_foveabox_config,
             "paa": tiny_paa_config, "cornernet": tiny_cornernet_config,
-            "reppoints": tiny_reppoints_config}
+            "reppoints": tiny_reppoints_config,
+            "deformable_detr": tiny_deformable_detr_config}
     return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
 
 
@@ -122,6 +127,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.detr import make_detr_train_step
 
         return make_detr_train_step(model, cfg, tx)
+    if family == "deformable_detr":
+        from aod_meh_hua_tpu.engine.deformable_detr import \
+            make_deformable_detr_train_step
+
+        return make_deformable_detr_train_step(model, cfg, tx)
     if family == "sparse_rcnn":
         from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
 
@@ -212,6 +222,14 @@ def main():
         # configs/detr/detr_r50: AdamW 1e-4, wd 1e-4, backbone x0.1, clip 0.1
         lr = args.lr if args.lr != ap_lr_default() else 1e-4
         tcfg = TrainConfig(optimizer="adamw", lr=lr,
+                           weight_decay=args.weight_decay,
+                           backbone_lr_mult=0.1, grad_clip=0.1,
+                           batch_size=args.batch_size, seed=args.seed)
+    elif args.family == "deformable_detr":
+        # configs/deformable_detr: AdamW 2e-4, wd 1e-4, clip 0.1,
+        # lr_mult 0.1 on backbone + sampling_offsets + reference_points
+        lr = args.lr if args.lr != ap_lr_default() else 2e-4
+        tcfg = TrainConfig(optimizer="adamw_deform", lr=lr,
                            weight_decay=args.weight_decay,
                            backbone_lr_mult=0.1, grad_clip=0.1,
                            batch_size=args.batch_size, seed=args.seed)
