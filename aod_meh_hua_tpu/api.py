@@ -33,8 +33,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     from .models import (init_atss, init_cascade_rcnn, init_centernet,
                          init_cornernet, init_deformable_detr, init_detr,
                          init_faster_rcnn, init_fcos, init_gfl, init_foveabox,
-                         init_reppoints, init_sparse_rcnn, init_yolof,
-                         init_yolov3)
+                         init_mask_rcnn, init_reppoints, init_sparse_rcnn,
+                         init_yolof, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -54,6 +54,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "cornernet": init_cornernet,
         "reppoints": init_reppoints,
         "deformable_detr": init_deformable_detr,
+        "mask_rcnn": init_mask_rcnn,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -76,6 +77,7 @@ def make_eval_step_for(model, cfg):
     from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
     from .engine.cornernet import make_cornernet_eval_step
     from .engine.deformable_detr import make_deformable_detr_eval_step
+    from .engine.mask_rcnn import make_mask_rcnn_eval_step
     from .engine.reppoints import make_reppoints_eval_step
 
     fn = {
@@ -96,6 +98,7 @@ def make_eval_step_for(model, cfg):
         "cornernet": make_cornernet_eval_step,
         "reppoints": make_reppoints_eval_step,
         "deformable_detr": make_deformable_detr_eval_step,
+        "mask_rcnn": make_mask_rcnn_eval_step,
     }[_family(cfg)]
     return fn(model, cfg)
 

@@ -114,7 +114,7 @@ class CocoDataset:
             return self._ann_cache[img_id]
         im = self._imgs[img_id]
         W, H = im["width"], im["height"]
-        bboxes, labels, bboxes_ig, labels_ig = [], [], [], []
+        bboxes, labels, bboxes_ig, labels_ig, masks = [], [], [], [], []
         for a in self._anns_by_img[img_id]:
             if a.get("ignore", 0):
                 continue  # coco.py:_parse_ann_info drops ignore flags
@@ -136,7 +136,14 @@ class CocoDataset:
             else:
                 bboxes.append(box)
                 labels.append(label)
+                # polygon instance masks (coco.py _parse_ann_info
+                # gt_masks_ann); RLE crowd masks are routed to ignore
+                # above, so only xy-interleaved polygon lists land here
+                seg = a.get("segmentation")
+                masks.append([p for p in seg if len(p) >= 6]
+                             if isinstance(seg, list) else [])
         ann = dict(
+            masks=masks,
             bboxes=(np.array(bboxes, np.float32).reshape(-1, 4)
                     if bboxes else np.zeros((0, 4), np.float32)),
             labels=np.array(labels, np.int64) if labels else np.zeros((0,), np.int64),

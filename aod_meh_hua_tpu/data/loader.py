@@ -107,12 +107,18 @@ class TrainLoader:
         prefetch: bool = True,
         augment_fn=None,
         num_workers: int = 4,
+        with_masks: bool = False,
     ):
         """augment_fn(img, ann, rng) -> (img, ann): pre-resize train-time
         augmentations (the SSD PhotoMetric/Expand/MinIoUCrop chain).
         num_workers: decode/resize thread pool size (cv2 releases the
         GIL; this is the host analog of the reference's worker
-        processes, datasets/builder.py:104-147)."""
+        processes, datasets/builder.py:104-147).
+        with_masks: yield engine.mask_rcnn.MaskBatch with per-gt
+        box-aligned [R, R] rasters (R = cfg.gt_mask_raster). The rasters
+        are built from the ann's ORIGINAL-coordinate polygons — the
+        box-aligned frame is invariant under the pipeline's axis-aligned
+        resize, so only the horizontal flip needs mirroring."""
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.cfg = model_cfg
@@ -123,6 +129,7 @@ class TrainLoader:
         self.prefetch = prefetch
         self.augment_fn = augment_fn
         self.num_workers = num_workers
+        self.with_masks = with_masks
         self._pool = _shared_pool(num_workers) if num_workers > 0 else None
         self._gen = model_cfg.build_anchor_generator()
 
@@ -158,7 +165,18 @@ class TrainLoader:
             ann = self.dataset.get_ann_info(int(i))
             if self.augment_fn is not None:
                 img, ann = self.augment_fn(img, ann, r)
-            return prepare_sample(img, ann, self.pipeline, rng=r)
+            sample = prepare_sample(img, ann, self.pipeline, rng=r)
+            if self.with_masks:
+                from ..engine.mask_rcnn import rasterize_gt_masks
+
+                polys = ann.get("masks") or [[] for _ in ann["bboxes"]]
+                rast = rasterize_gt_masks(polys, ann["bboxes"],
+                                          self.cfg.max_gt,
+                                          self.cfg.gt_mask_raster)
+                if sample["flipped"]:
+                    rast = rast[:, :, ::-1].copy()
+                sample["gt_rasters"] = rast
+            return sample
 
         if self._pool is not None:
             samples = list(self._pool.map(prep, batch_idx, seeds))
@@ -172,6 +190,11 @@ class TrainLoader:
         sizes = self.cfg.for_orientation(orientation).featmap_sizes()
         av = anchor_valid_flags(self._gen, sizes, pad_shapes)
         shapes = np.stack([s["img_shape"] for s in samples])
+        if self.with_masks:
+            from ..engine.mask_rcnn import MaskBatch
+
+            rasters = np.stack([s["gt_rasters"] for s in samples])
+            return MaskBatch(images, boxes, labels, valid, av, shapes, rasters)
         return Batch(images, boxes, labels, valid, av, shapes)
 
     def burn_epochs(self, n: int) -> None:

@@ -269,7 +269,7 @@ def make_mask_rcnn_eval_step(model, cfg) -> Callable:
             axis=-1)[..., 0]
         masks = jax.nn.sigmoid(msel) * dets.valid[:, :, None, None]
         return MaskDetections(dets.boxes, dets.scores, dets.labels,
-                              dets.valid, dets.idx, masks)
+                              dets.valid, dets.anchor_idx, masks)
 
     jfn = jax.jit(eval_step)
     anchors_arg = ConstArg(anchors_host)

@@ -22,6 +22,7 @@ from .centernet import CenterNet, build_centernet, init_centernet
 from .cornernet import CornerNet, init_cornernet
 from .deformable_detr import (DeformableDETR, build_deformable_detr,
                               init_deformable_detr)
+from .mask_rcnn import MaskRCNN, build_mask_rcnn, init_mask_rcnn
 from .reppoints import RepPoints, init_reppoints
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof

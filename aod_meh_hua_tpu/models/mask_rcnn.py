@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .two_stage import FasterRCNN, RPNHead, Shared2FCBBoxHead
+from .two_stage import RPNHead, Shared2FCBBoxHead
 from .fpn import FPN
 from .resnet import ResNet
 

@@ -422,6 +422,25 @@ class CascadeRCNNConfig(FasterRCNNConfig):
 
 
 @dataclass(frozen=True)
+class MaskRCNNConfig(FasterRCNNConfig):
+    """Mask R-CNN R50-FPN (reference
+    configs/_base_/models/mask_rcnn_r50_fpn.py): the Faster R-CNN trunk
+    plus an FCN mask head — RoIAlign 14 on the sampled positives,
+    4 convs + deconv + 1x1 to per-class 28x28 masks, BCE on the gt-class
+    channel. gt_mask_raster is the TPU transport redesign: per-gt
+    box-aligned rasters instead of full-resolution bitmaps (see
+    engine/mask_rcnn.py docstring)."""
+
+    mask_roi_size: int = 14
+    mask_size: int = 28
+    mask_convs: int = 4
+    mask_channels: int = 256
+    gt_mask_raster: int = 56
+
+    family = "mask_rcnn"
+
+
+@dataclass(frozen=True)
 class FCOSConfig:
     """FCOS R50-FPN, VOC classes (the upstream anchor-free family the
     reference keeps registered; configs/fcos/*_r50_caffe_fpn_gn-head)."""
@@ -1505,6 +1524,30 @@ def tiny_faster_rcnn_config(**overrides) -> FasterRCNNConfig:
     return FasterRCNNConfig(**base)
 
 
+def tiny_mask_rcnn_config(**overrides) -> MaskRCNNConfig:
+    """A shrunken Mask R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        mask_convs=2,
+        mask_channels=8,
+        mask_size=14,
+        mask_roi_size=7,
+        gt_mask_raster=28,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return MaskRCNNConfig(**base)
+
+
 def tiny_fcos_config(**overrides) -> FCOSConfig:
     """A shrunken FCOS for fast CPU unit tests."""
     base = dict(
@@ -1789,3 +1832,34 @@ def tiny_test_config(**overrides) -> RetinaNetConfig:
     )
     base.update(overrides)
     return RetinaNetConfig(**base)
+
+
+# --- Zoo family registry -------------------------------------------------
+# family name -> (full-size config class, tiny test-config factory). The
+# single source of truth for every CLI's --family list (train_detector,
+# get_flops, benchmark, export_model, serve): the reference enumerates
+# families through its config directory + registry
+# (mmdet/models/builder.py DETECTORS registry); here the registry is
+# explicit so a new family lands in every tool by being added ONCE.
+ZOO_FAMILIES = {
+    "faster_rcnn": (FasterRCNNConfig, tiny_faster_rcnn_config),
+    "cascade_rcnn": (CascadeRCNNConfig, tiny_cascade_config),
+    "mask_rcnn": (MaskRCNNConfig, tiny_mask_rcnn_config),
+    "fcos": (FCOSConfig, tiny_fcos_config),
+    "atss": (ATSSConfig, tiny_atss_config),
+    "gfl": (GFLConfig, tiny_gfl_config),
+    "yolov3": (YOLOConfig, tiny_yolo_config),
+    "detr": (DETRConfig, tiny_detr_config),
+    "deformable_detr": (DeformableDETRConfig, tiny_deformable_detr_config),
+    "centernet": (CenterNetConfig, tiny_centernet_config),
+    "sparse_rcnn": (SparseRCNNConfig, tiny_sparse_rcnn_config),
+    "yolof": (YOLOFConfig, tiny_yolof_config),
+    "foveabox": (FoveaBoxConfig, tiny_foveabox_config),
+    "paa": (PAAConfig, tiny_paa_config),
+    "cornernet": (CornerNetConfig, tiny_cornernet_config),
+    "reppoints": (RepPointsConfig, tiny_reppoints_config),
+}
+
+# The two live AL families (MEH RetinaNet / SSD) + the zoo: everything
+# init_detector can build.
+ALL_FAMILIES = ("retinanet", "ssd") + tuple(ZOO_FAMILIES)

@@ -142,6 +142,8 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
     from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
+    from aod_meh_hua_tpu.engine.mask_rcnn import (MaskBatch,
+                                                  make_mask_rcnn_train_step)
     from aod_meh_hua_tpu.engine.paa import make_paa_train_step
     from aod_meh_hua_tpu.engine.reppoints import make_reppoints_train_step
     from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
@@ -155,7 +157,8 @@ def test_zoo_families_train_on_mesh():
         tiny_cornernet_config, tiny_deformable_detr_config, tiny_detr_config,
         tiny_faster_rcnn_config,
         tiny_fcos_config, tiny_foveabox_config,
-        tiny_gfl_config, tiny_paa_config, tiny_reppoints_config,
+        tiny_gfl_config, tiny_mask_rcnn_config, tiny_paa_config,
+        tiny_reppoints_config,
         tiny_sparse_rcnn_config, tiny_yolo_config,
         tiny_yolof_config,
     )
@@ -178,6 +181,7 @@ def test_zoo_families_train_on_mesh():
         (tiny_cornernet_config(), make_cornernet_train_step, False),
         (tiny_reppoints_config(), make_reppoints_train_step, False),
         (tiny_deformable_detr_config(), make_deformable_detr_train_step, True),
+        (tiny_mask_rcnn_config(), make_mask_rcnn_train_step, True),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)
@@ -198,8 +202,14 @@ def test_zoo_families_train_on_mesh():
                                 cfg.featmap_sizes(), shapes)
         if cfg.family == "fcos":
             av = np.ones((b, 1), bool)
-        batch = shard_batch(
-            Batch(images, boxes, labels, gt_valid, av, shapes), mesh)
+        if cfg.family == "mask_rcnn":
+            rasters = np.ones((b, g, cfg.gt_mask_raster, cfg.gt_mask_raster),
+                              np.float32)
+            host = MaskBatch(images, boxes, labels, gt_valid, av, shapes,
+                             rasters)
+        else:
+            host = Batch(images, boxes, labels, gt_valid, av, shapes)
+        batch = shard_batch(host, mesh)
         if needs_key:
             state, aux = step(state, batch, jax.random.PRNGKey(0))
         else:

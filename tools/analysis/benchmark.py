@@ -16,10 +16,11 @@ import numpy as np
 
 
 def main():
+    from aod_meh_hua_tpu.utils.config import ALL_FAMILIES
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
-                choices=["retinanet", "ssd", "faster_rcnn",
-                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
+                    choices=sorted(ALL_FAMILIES))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
@@ -32,16 +33,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
     from aod_meh_hua_tpu.engine import EvalBatch
-    from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, PAAConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
-    )
+    from aod_meh_hua_tpu.utils.config import (RetinaNetConfig, SSDConfig,
+                                              ZOO_FAMILIES)
 
-    cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
-           "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
-           "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family](
-        compute_dtype=args.dtype)
+    if args.family == "retinanet":
+        cfg = RetinaNetConfig(compute_dtype=args.dtype)
+    elif args.family == "ssd":
+        cfg = SSDConfig(compute_dtype=args.dtype)
+    else:
+        cfg = ZOO_FAMILIES[args.family][0](compute_dtype=args.dtype)
     model, variables = init_detector(cfg)
     step = make_eval_step_for(model, cfg)
 

@@ -13,10 +13,11 @@ import numpy as np
 
 
 def main():
+    from aod_meh_hua_tpu.utils.config import ALL_FAMILIES
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
-                choices=["retinanet", "ssd", "faster_rcnn",
-                         "cascade_rcnn", "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
+                    choices=sorted(ALL_FAMILIES))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -26,21 +27,21 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from aod_meh_hua_tpu.api import init_detector
-    from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, PAAConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
-    )
+    from aod_meh_hua_tpu.utils.config import (RetinaNetConfig, SSDConfig,
+                                              ZOO_FAMILIES)
     from aod_meh_hua_tpu.utils.profiling import compiled_cost
 
-    cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
-           "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
-           "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family]()
+    if args.family == "retinanet":
+        cfg = RetinaNetConfig()
+    elif args.family == "ssd":
+        cfg = SSDConfig()
+    else:
+        cfg = ZOO_FAMILIES[args.family][0]()
     model, variables = init_detector(cfg)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     h, w = cfg.canvas
     img = jnp.zeros((1, h, w, 3))
-    if args.family == "detr":
+    if args.family in ("detr", "deformable_detr"):
         shapes = jnp.asarray([[h, w]], jnp.int32)
         fwd = lambda im: model.apply(variables, im, shapes)
     else:

@@ -15,10 +15,11 @@ import numpy as np
 
 
 def main():
+    from aod_meh_hua_tpu.utils.config import ALL_FAMILIES
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="retinanet",
-                    choices=["retinanet", "ssd", "faster_rcnn", "cascade_rcnn",
-                             "fcos", "atss", "gfl", "yolov3", "detr", "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
+                    choices=sorted(ALL_FAMILIES))
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default="detector_export.bin")
     ap.add_argument("--batch", type=int, default=1)
@@ -33,22 +34,25 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from aod_meh_hua_tpu.api import init_detector, make_eval_step_for
     from aod_meh_hua_tpu.engine import EvalBatch
+    from aod_meh_hua_tpu.engine.mask_rcnn import MaskDetections
     from aod_meh_hua_tpu.ops.nms import NMSResult
-    from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, FasterRCNNConfig, FCOSConfig,
-        CenterNetConfig, DETRConfig, FoveaBoxConfig, GFLConfig, PAAConfig, SparseRCNNConfig, YOLOFConfig, RetinaNetConfig, SSDConfig, YOLOConfig,
-    )
+    from aod_meh_hua_tpu.utils.config import (RetinaNetConfig, SSDConfig,
+                                              ZOO_FAMILIES)
 
     # namedtuple pytrees must be registered for serialization
     jexport.register_namedtuple_serialization(
         EvalBatch, serialized_name="aod_meh_hua_tpu.EvalBatch")
     jexport.register_namedtuple_serialization(
         NMSResult, serialized_name="aod_meh_hua_tpu.NMSResult")
+    jexport.register_namedtuple_serialization(
+        MaskDetections, serialized_name="aod_meh_hua_tpu.MaskDetections")
 
-    cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
-           "faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
-           "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-           "yolov3": YOLOConfig, "detr": DETRConfig, "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family]()
+    if args.family == "retinanet":
+        cfg = RetinaNetConfig()
+    elif args.family == "ssd":
+        cfg = SSDConfig()
+    else:
+        cfg = ZOO_FAMILIES[args.family][0]()
     model, variables = init_detector(cfg, checkpoint=args.checkpoint)
     step = make_eval_step_for(model, cfg)
 

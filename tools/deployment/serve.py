@@ -34,38 +34,16 @@ import numpy as np
 
 def build_detector(args):
     from aod_meh_hua_tpu.api import Detector, init_detector
-    from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, CenterNetConfig, DETRConfig,
-        FasterRCNNConfig, FCOSConfig, GFLConfig, RetinaNetConfig,
-        FoveaBoxConfig, PAAConfig, SparseRCNNConfig, SSDConfig, YOLOConfig, YOLOFConfig,
-    )
+    from aod_meh_hua_tpu.utils.config import (RetinaNetConfig, SSDConfig,
+                                              ZOO_FAMILIES, tiny_test_config)
 
-    if args.mini:
-        from aod_meh_hua_tpu.utils.config import (
-            tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
-            tiny_detr_config, tiny_faster_rcnn_config, tiny_fcos_config,
-            tiny_gfl_config, tiny_sparse_rcnn_config, tiny_test_config,
-            tiny_foveabox_config, tiny_paa_config, tiny_yolo_config, tiny_yolof_config,
-        )
-
-        cfg = {"retinanet": tiny_test_config,
-               "ssd": lambda: SSDConfig(width_mult=0.125),
-               "faster_rcnn": tiny_faster_rcnn_config,
-               "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
-               "atss": tiny_atss_config, "gfl": tiny_gfl_config,
-               "yolov3": tiny_yolo_config, "detr": tiny_detr_config,
-               "centernet": tiny_centernet_config,
-               "sparse_rcnn": tiny_sparse_rcnn_config,
-               "yolof": tiny_yolof_config,
-               "foveabox": tiny_foveabox_config,
-               "paa": tiny_paa_config}[args.family]()
+    if args.family == "retinanet":
+        cfg = tiny_test_config() if args.mini else RetinaNetConfig()
+    elif args.family == "ssd":
+        cfg = SSDConfig(width_mult=0.125) if args.mini else SSDConfig()
     else:
-        cfg = {"retinanet": RetinaNetConfig, "ssd": SSDConfig,
-               "faster_rcnn": FasterRCNNConfig,
-               "cascade_rcnn": CascadeRCNNConfig, "fcos": FCOSConfig,
-               "atss": ATSSConfig, "gfl": GFLConfig, "yolov3": YOLOConfig,
-               "detr": DETRConfig,
-               "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig, "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig, "paa": PAAConfig}[args.family]()
+        full_cls, tiny_fn = ZOO_FAMILIES[args.family]
+        cfg = tiny_fn() if args.mini else full_cls()
     model, variables = init_detector(cfg, checkpoint=args.checkpoint)
     pipeline = None
     if args.mini:
@@ -137,10 +115,10 @@ def make_handler(detector, classes, score_thr):
 
 def main():
     ap = argparse.ArgumentParser()
+    from aod_meh_hua_tpu.utils.config import ALL_FAMILIES
+
     ap.add_argument("--family", default="retinanet",
-                    choices=["retinanet", "ssd", "faster_rcnn", "cascade_rcnn",
-                             "fcos", "atss", "gfl", "yolov3", "detr",
-                             "centernet", "sparse_rcnn", "yolof", "foveabox", "paa"])
+                    choices=sorted(ALL_FAMILIES))
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--score-thr", type=float, default=0.5)

@@ -26,13 +26,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _zoo_families():
+    from aod_meh_hua_tpu.utils.config import ZOO_FAMILIES
+
+    return ZOO_FAMILIES
+
+
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", required=True,
-                    choices=["faster_rcnn", "cascade_rcnn", "fcos", "atss", "gfl",
-                             "yolov3", "detr", "centernet", "sparse_rcnn", "yolof",
-                             "foveabox", "paa", "cornernet", "reppoints",
-                             "deformable_detr"])
+                    choices=sorted(_zoo_families()))
     ap.add_argument("--voc07", default=None, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--coco-train", default=None,
@@ -79,38 +82,9 @@ def ap_lr_default():
 
 
 def build(family, mini, dtype):
-    from aod_meh_hua_tpu.utils.config import (
-        ATSSConfig, CascadeRCNNConfig, CenterNetConfig, CornerNetConfig,
-        DeformableDETRConfig, DETRConfig, FasterRCNNConfig, FCOSConfig,
-        FoveaBoxConfig, GFLConfig,
-        PAAConfig, RepPointsConfig, SparseRCNNConfig, YOLOConfig, YOLOFConfig,
-        tiny_atss_config, tiny_cascade_config, tiny_centernet_config,
-        tiny_cornernet_config, tiny_deformable_detr_config, tiny_detr_config,
-        tiny_faster_rcnn_config,
-        tiny_fcos_config, tiny_foveabox_config, tiny_gfl_config,
-        tiny_paa_config, tiny_reppoints_config, tiny_sparse_rcnn_config,
-        tiny_yolo_config, tiny_yolof_config,
-    )
-
-    full = {"faster_rcnn": FasterRCNNConfig, "cascade_rcnn": CascadeRCNNConfig,
-            "fcos": FCOSConfig, "atss": ATSSConfig, "gfl": GFLConfig,
-            "yolov3": YOLOConfig, "detr": DETRConfig,
-            "centernet": CenterNetConfig, "sparse_rcnn": SparseRCNNConfig,
-            "yolof": YOLOFConfig, "foveabox": FoveaBoxConfig,
-            "paa": PAAConfig, "cornernet": CornerNetConfig,
-            "reppoints": RepPointsConfig,
-            "deformable_detr": DeformableDETRConfig}
-    tiny = {"faster_rcnn": tiny_faster_rcnn_config,
-            "cascade_rcnn": tiny_cascade_config, "fcos": tiny_fcos_config,
-            "atss": tiny_atss_config, "gfl": tiny_gfl_config,
-            "yolov3": tiny_yolo_config, "detr": tiny_detr_config,
-            "centernet": tiny_centernet_config,
-            "sparse_rcnn": tiny_sparse_rcnn_config,
-            "yolof": tiny_yolof_config, "foveabox": tiny_foveabox_config,
-            "paa": tiny_paa_config, "cornernet": tiny_cornernet_config,
-            "reppoints": tiny_reppoints_config,
-            "deformable_detr": tiny_deformable_detr_config}
-    return tiny[family](compute_dtype=dtype) if mini else full[family](compute_dtype=dtype)
+    full_cls, tiny_fn = _zoo_families()[family]
+    return (tiny_fn(compute_dtype=dtype) if mini
+            else full_cls(compute_dtype=dtype))
 
 
 def make_steps(family, model, cfg, tx):
@@ -119,6 +93,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
 
         return make_faster_rcnn_train_step(model, cfg, tx)
+    if family == "mask_rcnn":
+        from aod_meh_hua_tpu.engine.mask_rcnn import make_mask_rcnn_train_step
+
+        return make_mask_rcnn_train_step(model, cfg, tx)
     if family == "cascade_rcnn":
         from aod_meh_hua_tpu.engine.two_stage import make_cascade_train_step
 
@@ -323,7 +301,8 @@ def main():
         pipe = PipelineConfig(img_scale=(128, 60), canvas=cfg.canvas,
                               mean=mean, std=std, device_normalize=True)
     loader = TrainLoader(train_set, np.arange(len(train_set)), cfg, pipe,
-                         batch_size=args.batch_size, seed=args.seed)
+                         batch_size=args.batch_size, seed=args.seed,
+                         with_masks=(args.family == "mask_rcnn"))
     eval_steps = {}
     key = jax.random.PRNGKey(args.seed)
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
