@@ -140,6 +140,42 @@ class Detector:
         dets = self._step(s["orientation"])(self.variables, batch)
         return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
 
+    def predict_batch(self, images: Sequence[Union[str, np.ndarray]],
+                      max_batch: int = 8) -> List[List[np.ndarray]]:
+        """Batched inference for serving: group by orientation, pad each
+        group to a FIXED max_batch (one compile per orientation instead
+        of one per request count), run the same jitted eval step, return
+        per-image per-class arrays in input order. This is the batched
+        forward the reference delegates to TorchServe's dynamic batcher
+        (tools/deployment/mmdet_handler.py handles lists of requests)."""
+        samples = [prepare_sample(load_image(i) if isinstance(i, str) else i,
+                                  None, self.pipeline, flip=False)
+                   for i in images]
+        results: List[Optional[List[np.ndarray]]] = [None] * len(images)
+        by_orient = {}
+        for idx, s in enumerate(samples):
+            by_orient.setdefault(s["orientation"], []).append(idx)
+        for orient, idxs in by_orient.items():
+            step = self._step(orient)
+            for lo in range(0, len(idxs), max_batch):
+                chunk = idxs[lo:lo + max_batch]
+                n = len(chunk)
+                pad = max_batch - n
+                imgs = np.stack([samples[i]["image"] for i in chunk]
+                                + [samples[chunk[0]]["image"]] * pad)
+                shapes = np.stack([samples[i]["img_shape"] for i in chunk]
+                                  + [samples[chunk[0]]["img_shape"]] * pad)
+                scales = np.stack([samples[i]["scale_factor"] for i in chunk]
+                                  + [samples[chunk[0]]["scale_factor"]] * pad)
+                bvalid = np.arange(max_batch) < n
+                dets = step(self.variables,
+                            EvalBatch(imgs, shapes, scales, bvalid))
+                per = detections_to_per_class(dets, self.cfg.num_fg_classes,
+                                              batch_valid=bvalid)
+                for j, i in enumerate(chunk):
+                    results[i] = per[j]
+        return results  # type: ignore[return-value]
+
 
 def show_result(
     image: Union[str, np.ndarray],
@@ -172,3 +208,15 @@ def inference_detector(detector: Detector, imgs) -> Union[List, List[List]]:
     if isinstance(imgs, (list, tuple)):
         return [detector(i) for i in imgs]
     return detector(imgs)
+
+
+async def async_inference_detector(detector: Detector, img):
+    """Awaitable single-image inference (reference
+    mmdet/apis/inference.py:155 async_inference_detector): the device
+    step runs in the default thread-pool executor so the event loop
+    stays free while XLA executes — the analog of the reference's
+    torch.cuda.stream concurrency."""
+    import asyncio
+
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(None, detector, img)

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Minimal HTTP detection server — the TPU-native analog of the
-reference's TorchServe deployment.
+"""HTTP detection server — the TPU-native analog of the reference's
+TorchServe deployment.
 
 Behavioral parity targets (reference, /root/reference):
 * tools/deployment/mmdet2torchserve.py + mmdet_handler.py — package a
@@ -8,14 +8,18 @@ Behavioral parity targets (reference, /root/reference):
   bytes (raw or base64) and returns per-detection
   {class_name, bbox [x1, y1, x2, y2], score} rows above a threshold
   (mmdet_handler.py:44-67, threshold 0.5).
-
-Here the server is dependency-free (http.server): the model compiles
-once at startup (per-orientation eval steps cached by api.Detector) and
-every request runs the same jitted NMSResult path as the offline tools.
+* TorchServe's multi-worker + dynamic-batching frontend (batch_size /
+  max_batch_delay): here a ThreadingHTTPServer accepts requests
+  concurrently (decode/preprocess overlap — cv2 releases the GIL) and a
+  single batcher thread coalesces up to --max-batch images within
+  --batch-delay-ms into ONE padded device step
+  (api.Detector.predict_batch, fixed shape = one compile), which is the
+  TPU-correct shape for this: one big MXU launch instead of N small ones.
 
 Usage:
   python tools/deployment/serve.py --family retinanet \
-      [--checkpoint ckpt] [--port 8080] [--score-thr 0.5] [--cpu]
+      [--checkpoint ckpt] [--port 8080] [--score-thr 0.5] [--cpu] \
+      [--max-batch 8] [--batch-delay-ms 5]
   curl -X POST --data-binary @image.jpg localhost:8080/predictions
 """
 
@@ -24,8 +28,10 @@ import base64
 import binascii
 import json
 import os
+import queue
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -68,7 +74,59 @@ def decode_image(body: bytes):
     return cv2.imdecode(arr, cv2.IMREAD_COLOR)
 
 
-def make_handler(detector, classes, score_thr):
+class Batcher:
+    """Coalesce concurrent requests into one padded device batch.
+
+    Requests enqueue (image, Event, slot); the worker drains up to
+    max_batch of them, waiting at most delay_ms for stragglers after the
+    first arrival, then runs ONE predict_batch call and wakes every
+    waiter. TorchServe frontend semantics (batch_size + max_batch_delay)
+    without the extra process hop."""
+
+    def __init__(self, detector, max_batch: int = 8, delay_ms: float = 5.0):
+        self.detector = detector
+        self.max_batch = max(1, max_batch)
+        self.delay = delay_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def predict(self, img):
+        done = threading.Event()
+        slot = {}
+        self.q.put((img, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _run(self):
+        while True:
+            items = [self.q.get()]  # block for the first request
+            import time
+
+            t0 = time.monotonic()
+            while len(items) < self.max_batch:
+                remaining = self.delay - (time.monotonic() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self.detector.predict_batch(
+                    [im for im, _, _ in items], max_batch=self.max_batch)
+                for (_, done, slot), res in zip(items, results):
+                    slot["result"] = res
+                    done.set()
+            except Exception as e:
+                for _, done, slot in items:
+                    slot["error"] = e
+                    done.set()
+
+
+def make_handler(batcher, classes, score_thr):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code, payload):
             body = json.dumps(payload).encode()
@@ -96,7 +154,7 @@ def make_handler(detector, classes, score_thr):
             if img is None:
                 self._reply(400, {"error": "undecodable image payload"})
                 return
-            per_class = detector(img)
+            per_class = batcher.predict(img)
             out = []
             for ci, dets in enumerate(per_class):
                 name = classes[ci] if ci < len(classes) else str(ci)
@@ -126,6 +184,11 @@ def main():
     ap.add_argument("--mini", action="store_true", help="tiny model smoke mode")
     ap.add_argument("--warmup", action="store_true",
                     help="compile the landscape eval step before listening")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="dynamic batcher: max images per device step")
+    ap.add_argument("--batch-delay-ms", type=float, default=5.0,
+                    help="dynamic batcher: max wait for stragglers after "
+                         "the first request (TorchServe max_batch_delay)")
     args = ap.parse_args()
 
     # platform selection MUST precede any package import: importing the
@@ -145,13 +208,17 @@ def main():
     if args.warmup:
         h, w = detector.cfg.canvas
         dummy = np.zeros((min(600, h), min(1000, w), 3), np.uint8)
-        detector(dummy)
+        detector.predict_batch([dummy], max_batch=args.max_batch)
         print("warmup compile done", flush=True)
 
-    server = HTTPServer(("0.0.0.0", args.port),
-                        make_handler(detector, classes, args.score_thr))
+    batcher = Batcher(detector, max_batch=args.max_batch,
+                      delay_ms=args.batch_delay_ms)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                 make_handler(batcher, classes, args.score_thr))
     print(f"serving {args.family} on :{args.port} "
-          f"(POST image bytes to /predictions, GET /ping)", flush=True)
+          f"(POST image bytes to /predictions, GET /ping; "
+          f"batch<= {args.max_batch}, delay {args.batch_delay_ms} ms)",
+          flush=True)
     server.serve_forever()
 
 
