@@ -30,9 +30,11 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     Returns (model, variables). Families: retinanet (MEH), ssd (MEH),
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
-    from .models import (init_atss, init_cascade_rcnn, init_centernet,
+    from .models import (init_atss, init_autoassign, init_cascade_rcnn,
+                         init_centernet,
                          init_cornernet, init_deformable_detr, init_detr,
-                         init_faster_rcnn, init_fcos, init_gfl, init_foveabox,
+                         init_faster_rcnn, init_fcos, init_fsaf, init_gfl,
+                         init_foveabox,
                          init_mask_rcnn, init_reppoints, init_sparse_rcnn,
                          init_yolof, init_yolov3)
 
@@ -42,6 +44,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "faster_rcnn": init_faster_rcnn,
         "cascade_rcnn": init_cascade_rcnn,
         "fcos": init_fcos,
+        "fsaf": init_fsaf,
+        "autoassign": init_autoassign,
         "atss": init_atss,
         "gfl": init_gfl,
         "yolov3": init_yolov3,
@@ -74,6 +78,8 @@ def make_eval_step_for(model, cfg):
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
+    from .engine.autoassign import make_autoassign_eval_step
+    from .engine.fsaf import make_fsaf_eval_step
     from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
     from .engine.cornernet import make_cornernet_eval_step
     from .engine.deformable_detr import make_deformable_detr_eval_step
@@ -86,6 +92,8 @@ def make_eval_step_for(model, cfg):
         "faster_rcnn": make_faster_rcnn_eval_step,
         "cascade_rcnn": make_cascade_eval_step,
         "fcos": make_fcos_eval_step,
+        "fsaf": make_fsaf_eval_step,
+        "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,
         "gfl": make_gfl_eval_step,
         "yolov3": make_yolo_eval_step,

@@ -14,6 +14,9 @@ from .ssd_neck import SSDNeck
 from .ssd_head import SSDMEHHead
 from .ssd_detector import MEHSSD, build_ssd, init_ssd
 from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
+from .autoassign import (AutoAssign, AutoAssignHead, build_autoassign,
+                         init_autoassign)
+from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf
 from .atss import ATSS, ATSSHead, build_atss, init_atss
 from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
 from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_yolov3

@@ -140,3 +140,62 @@ def delta_decode(
         y2 = jnp.clip(y2, 0.0, h)
 
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def tblr_encode(
+    priors: jnp.ndarray,
+    gt: jnp.ndarray,
+    normalizer: float = 4.0,
+) -> jnp.ndarray:
+    """Encode gt boxes as (top, bottom, left, right) distances from the
+    prior CENTER, normalized by the prior's height/width then by
+    `normalizer`.
+
+    Mirrors bboxes2tblr (reference
+    mmdet/core/bbox/coder/tblr_bbox_coder.py:66, normalize_by_wh=True —
+    the FSAF config's TBLRBBoxCoder(normalizer=4.0)).
+    """
+    cx = (priors[..., 0] + priors[..., 2]) * 0.5
+    cy = (priors[..., 1] + priors[..., 3]) * 0.5
+    w = priors[..., 2] - priors[..., 0]
+    h = priors[..., 3] - priors[..., 1]
+    top = (cy - gt[..., 1]) / jnp.maximum(h, 1e-6)
+    bottom = (gt[..., 3] - cy) / jnp.maximum(h, 1e-6)
+    left = (cx - gt[..., 0]) / jnp.maximum(w, 1e-6)
+    right = (gt[..., 2] - cx) / jnp.maximum(w, 1e-6)
+    return jnp.stack([top, bottom, left, right], axis=-1) / normalizer
+
+
+def tblr_decode(
+    priors: jnp.ndarray,
+    tblr: jnp.ndarray,
+    normalizer: float = 4.0,
+    max_shape=None,
+) -> jnp.ndarray:
+    """Decode (top, bottom, left, right) distances back to x1y1x2y2.
+
+    Mirrors tblr2bboxes (reference
+    mmdet/core/bbox/coder/tblr_bbox_coder.py:119): denormalize by
+    `normalizer` then by the prior's h (top/bottom) and w (left/right),
+    offset from the prior center, optionally clip to (H, W)."""
+    cx = (priors[..., 0] + priors[..., 2]) * 0.5
+    cy = (priors[..., 1] + priors[..., 3]) * 0.5
+    w = priors[..., 2] - priors[..., 0]
+    h = priors[..., 3] - priors[..., 1]
+    d = tblr * normalizer
+    top, bottom = d[..., 0] * h, d[..., 1] * h
+    left, right = d[..., 2] * w, d[..., 3] * w
+    x1, y1 = cx - left, cy - top
+    x2, y2 = cx + right, cy + bottom
+    if max_shape is not None:
+        max_shape = jnp.asarray(max_shape)
+        hh = max_shape[..., 0]
+        ww = max_shape[..., 1]
+        while hh.ndim < x1.ndim:
+            hh = hh[..., None]
+            ww = ww[..., None]
+        x1 = jnp.clip(x1, 0.0, ww)
+        y1 = jnp.clip(y1, 0.0, hh)
+        x2 = jnp.clip(x2, 0.0, ww)
+        y2 = jnp.clip(y2, 0.0, hh)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)

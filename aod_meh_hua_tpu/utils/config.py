@@ -512,6 +512,151 @@ class FCOSConfig:
 
 
 @dataclass(frozen=True)
+class AutoAssignConfig:
+    """AutoAssign R50-FPN, VOC classes (the upstream differentiable-
+    assignment family the fork keeps registered;
+    configs/autoassign/autoassign_r50_fpn_8x2_1x_coco.py: GIoU loss
+    weight 5, pos/neg/center loss weights 0.25/0.75/0.75, test NMS 0.6)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    giou_loss_weight: float = 5.0
+    pos_loss_weight: float = 0.25
+    neg_loss_weight: float = 0.75
+    center_loss_weight: float = 0.75
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.6, max_per_img=100))
+
+    family = "autoassign"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """Point-compatible 1-anchor generator (see FCOSConfig): the loss
+        is anchor-free; the loader only needs pad-validity flags."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=(1.0,),
+            octave_base_scale=8, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "AutoAssignConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        assert h % 32 == 0 and w % 32 == 0, "canvas must be divisible by 32"
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
+class FSAFConfig:
+    """FSAF R50-FPN, VOC classes (the upstream feature-selective
+    anchor-free family the fork keeps registered;
+    configs/fsaf/fsaf_r50_fpn_1x_coco.py: one stride-sized square anchor
+    per cell, TBLRBBoxCoder normalizer 4.0, CenterRegionAssigner
+    pos/neg scale 0.2, IoULoss eps 1e-6, grad clip max_norm 10)."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    pos_scale: float = 0.2
+    neg_scale: float = 0.2
+    min_pos_iof: float = 0.01
+    tblr_normalizer: float = 4.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100))
+
+    family = "fsaf"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    def build_anchor_generator(self):
+        """fsaf config: octave_base_scale=1, scales_per_octave=1,
+        ratios [1.0] — one stride-sized square anchor per cell."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=(1.0,),
+            octave_base_scale=1, scales_per_octave=1,
+        )
+
+    def for_orientation(self, orientation: str) -> "FSAFConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        assert h % 32 == 0 and w % 32 == 0, "canvas must be divisible by 32"
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
 class ATSSConfig:
     """ATSS R50-FPN, VOC classes (the upstream adaptive-assignment family
     the reference keeps registered; configs/atss/atss_r50_fpn_1x_coco.py:
@@ -1566,6 +1711,40 @@ def tiny_fcos_config(**overrides) -> FCOSConfig:
     return FCOSConfig(**base)
 
 
+def tiny_autoassign_config(**overrides) -> AutoAssignConfig:
+    """A shrunken AutoAssign for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return AutoAssignConfig(**base)
+
+
+def tiny_fsaf_config(**overrides) -> FSAFConfig:
+    """A shrunken FSAF for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return FSAFConfig(**base)
+
+
 def tiny_gfl_config(**overrides) -> GFLConfig:
     """A shrunken GFL for fast CPU unit tests."""
     base = dict(
@@ -1846,6 +2025,8 @@ ZOO_FAMILIES = {
     "cascade_rcnn": (CascadeRCNNConfig, tiny_cascade_config),
     "mask_rcnn": (MaskRCNNConfig, tiny_mask_rcnn_config),
     "fcos": (FCOSConfig, tiny_fcos_config),
+    "fsaf": (FSAFConfig, tiny_fsaf_config),
+    "autoassign": (AutoAssignConfig, tiny_autoassign_config),
     "atss": (ATSSConfig, tiny_atss_config),
     "gfl": (GFLConfig, tiny_gfl_config),
     "yolov3": (YOLOConfig, tiny_yolo_config),

@@ -141,6 +141,8 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.detr import make_detr_train_step
     from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
     from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
+    from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
+    from aod_meh_hua_tpu.engine.fsaf import make_fsaf_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
     from aod_meh_hua_tpu.engine.mask_rcnn import (MaskBatch,
                                                   make_mask_rcnn_train_step)
@@ -153,10 +155,11 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.ops import anchor_valid_flags
     from aod_meh_hua_tpu.parallel import make_mesh, replicate, shard_batch
     from aod_meh_hua_tpu.utils.config import (
-        TrainConfig, tiny_atss_config, tiny_centernet_config,
+        TrainConfig, tiny_atss_config, tiny_autoassign_config,
+        tiny_centernet_config,
         tiny_cornernet_config, tiny_deformable_detr_config, tiny_detr_config,
         tiny_faster_rcnn_config,
-        tiny_fcos_config, tiny_foveabox_config,
+        tiny_fcos_config, tiny_foveabox_config, tiny_fsaf_config,
         tiny_gfl_config, tiny_mask_rcnn_config, tiny_paa_config,
         tiny_reppoints_config,
         tiny_sparse_rcnn_config, tiny_yolo_config,
@@ -169,6 +172,8 @@ def test_zoo_families_train_on_mesh():
     cases = [
         (tiny_faster_rcnn_config(), make_faster_rcnn_train_step, True),
         (tiny_fcos_config(), make_fcos_train_step, False),
+        (tiny_fsaf_config(), make_fsaf_train_step, False),
+        (tiny_autoassign_config(), make_autoassign_train_step, False),
         (tiny_atss_config(), make_atss_train_step, False),
         (tiny_gfl_config(), make_gfl_train_step, False),
         (tiny_yolo_config(), make_yolo_train_step, False),

@@ -150,6 +150,14 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
 
         inner = make_fcos_train_step(model, cfg, tx)
+    elif family == "fsaf":
+        from aod_meh_hua_tpu.engine.fsaf import make_fsaf_train_step
+
+        inner = make_fsaf_train_step(model, cfg, tx)
+    elif family == "autoassign":
+        from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
+
+        inner = make_autoassign_train_step(model, cfg, tx)
     else:
         from aod_meh_hua_tpu.engine.atss import make_atss_train_step
 
