@@ -36,7 +36,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
                          init_faster_rcnn, init_fcos, init_fsaf, init_gfl,
                          init_foveabox,
                          init_mask_rcnn, init_reppoints, init_sparse_rcnn,
-                         init_yolof, init_yolov3)
+                         init_vfnet, init_yolof, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
@@ -47,6 +47,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "fsaf": init_fsaf,
         "autoassign": init_autoassign,
         "atss": init_atss,
+        "vfnet": init_vfnet,
         "gfl": init_gfl,
         "yolov3": init_yolov3,
         "detr": init_detr,
@@ -80,6 +81,7 @@ def make_eval_step_for(model, cfg):
     from .engine.fcos import make_fcos_eval_step
     from .engine.autoassign import make_autoassign_eval_step
     from .engine.fsaf import make_fsaf_eval_step
+    from .engine.vfnet import make_vfnet_eval_step
     from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
     from .engine.cornernet import make_cornernet_eval_step
     from .engine.deformable_detr import make_deformable_detr_eval_step
@@ -95,6 +97,7 @@ def make_eval_step_for(model, cfg):
         "fsaf": make_fsaf_eval_step,
         "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,
+        "vfnet": make_vfnet_eval_step,
         "gfl": make_gfl_eval_step,
         "yolov3": make_yolo_eval_step,
         "detr": make_detr_eval_step,

@@ -17,6 +17,7 @@ from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
 from .autoassign import (AutoAssign, AutoAssignHead, build_autoassign,
                          init_autoassign)
 from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf
+from .vfnet import VFNet, VFNetHead, build_vfnet, init_vfnet
 from .atss import ATSS, ATSSHead, build_atss, init_atss
 from .gfl import GFL, GFLHead, build_gfl, init_gfl, integral
 from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_yolov3

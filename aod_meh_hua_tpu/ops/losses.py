@@ -355,3 +355,29 @@ def ciou_loss(
     alpha = jax.lax.stop_gradient(v / (1.0 - ious + v + eps))
     loss = 1.0 - ious + rho2 / c2 + alpha * v
     return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def varifocal_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    alpha: float = 0.75,
+    gamma: float = 2.0,
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Varifocal loss (reference mmdet/models/losses/varifocal_loss.py:8,
+    iou_weighted=True): BCE-with-logits against CONTINUOUS IoU targets,
+    weighted by the target itself at positives and by
+    alpha * |sigmoid(pred) - target|^gamma at negatives.
+
+    pred/target: [..., C]; target is zero except the positive (row,
+    label) cells which carry the (detached) predicted-vs-gt IoU."""
+    p = jax.nn.sigmoid(pred)
+    pos = (target > 0.0).astype(pred.dtype)
+    focal_w = target * pos + alpha * jnp.abs(p - target) ** gamma * (1.0 - pos)
+    bce = jnp.clip(pred, 0, None) - pred * target + jnp.log1p(
+        jnp.exp(-jnp.abs(pred)))
+    loss = (bce * focal_w).sum()
+    if avg_factor is not None:
+        loss = loss / avg_factor
+    return loss_weight * loss

@@ -743,6 +743,24 @@ class GFLConfig(ATSSConfig):
 
 
 @dataclass(frozen=True)
+class VFNetConfig(ATSSConfig):
+    """VFNet R50-FPN (reference configs/vfnet/vfnet_r50_fpn_1x_coco.py):
+    ATSS assignment + varifocal IoU-aware cls loss + star-shaped
+    deformable refinement; 3 stacked tower convs, GIoU 1.5 (initial) /
+    2.0 (refine), reg_denom bbox normalization."""
+
+    stacked_convs: int = 3
+    reg_denoms: Tuple[float, ...] = (64, 128, 256, 512, 1024)
+    gradient_mul: float = 0.1
+    vfl_alpha: float = 0.75
+    vfl_gamma: float = 2.0
+    bbox_loss_weight: float = 1.5
+    bbox_refine_loss_weight: float = 2.0
+
+    family = "vfnet"
+
+
+@dataclass(frozen=True)
 class YOLOConfig:
     """YOLOv3 Darknet-53 608x608 (reference
     configs/yolo/yolov3_d53_mstrain-608_273e_coco.py, VOC classes)."""
@@ -1711,6 +1729,23 @@ def tiny_fcos_config(**overrides) -> FCOSConfig:
     return FCOSConfig(**base)
 
 
+def tiny_vfnet_config(**overrides) -> VFNetConfig:
+    """A shrunken VFNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return VFNetConfig(**base)
+
+
 def tiny_autoassign_config(**overrides) -> AutoAssignConfig:
     """A shrunken AutoAssign for fast CPU unit tests."""
     base = dict(
@@ -2028,6 +2063,7 @@ ZOO_FAMILIES = {
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),
     "atss": (ATSSConfig, tiny_atss_config),
+    "vfnet": (VFNetConfig, tiny_vfnet_config),
     "gfl": (GFLConfig, tiny_gfl_config),
     "yolov3": (YOLOConfig, tiny_yolo_config),
     "detr": (DETRConfig, tiny_detr_config),

@@ -143,6 +143,7 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.foveabox import make_fovea_train_step
     from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
     from aod_meh_hua_tpu.engine.fsaf import make_fsaf_train_step
+    from aod_meh_hua_tpu.engine.vfnet import make_vfnet_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
     from aod_meh_hua_tpu.engine.mask_rcnn import (MaskBatch,
                                                   make_mask_rcnn_train_step)
@@ -162,7 +163,7 @@ def test_zoo_families_train_on_mesh():
         tiny_fcos_config, tiny_foveabox_config, tiny_fsaf_config,
         tiny_gfl_config, tiny_mask_rcnn_config, tiny_paa_config,
         tiny_reppoints_config,
-        tiny_sparse_rcnn_config, tiny_yolo_config,
+        tiny_sparse_rcnn_config, tiny_vfnet_config, tiny_yolo_config,
         tiny_yolof_config,
     )
 
@@ -174,6 +175,7 @@ def test_zoo_families_train_on_mesh():
         (tiny_fcos_config(), make_fcos_train_step, False),
         (tiny_fsaf_config(), make_fsaf_train_step, False),
         (tiny_autoassign_config(), make_autoassign_train_step, False),
+        (tiny_vfnet_config(), make_vfnet_train_step, False),
         (tiny_atss_config(), make_atss_train_step, False),
         (tiny_gfl_config(), make_gfl_train_step, False),
         (tiny_yolo_config(), make_yolo_train_step, False),

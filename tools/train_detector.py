@@ -158,6 +158,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
 
         inner = make_autoassign_train_step(model, cfg, tx)
+    elif family == "vfnet":
+        from aod_meh_hua_tpu.engine.vfnet import make_vfnet_train_step
+
+        inner = make_vfnet_train_step(model, cfg, tx)
     else:
         from aod_meh_hua_tpu.engine.atss import make_atss_train_step
 
