@@ -31,20 +31,31 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     faster_rcnn, fcos, atss — the reference's build_detector registry
     collapsed to a config-type dispatch."""
     from .models import (init_atss, init_autoassign, init_cascade_rcnn,
-                         init_centernet,
+                         init_centernet, init_double_head_rcnn,
                          init_cornernet, init_deformable_detr, init_detr,
-                         init_faster_rcnn, init_fcos, init_fsaf, init_gfl,
+                         init_faster_rcnn, init_fcos, init_free_anchor,
+                         init_fsaf, init_gfl,
                          init_foveabox,
-                         init_mask_rcnn, init_reppoints, init_sparse_rcnn,
+                         init_fast_rcnn, init_ga_retinanet, init_mask_rcnn,
+                         init_mask_scoring_rcnn, init_reppoints,
+                         init_rpn_only, init_sparse_rcnn,
                          init_vfnet, init_yolof, init_yolov3)
 
     init_fn = {
         "retinanet": init_retinanet,
         "ssd": init_ssd,
         "faster_rcnn": init_faster_rcnn,
+        "libra_rcnn": init_faster_rcnn,  # cfg carries the BFP/sampler deltas
+        "pafpn": init_faster_rcnn,  # cfg.neck_type switches the neck
+        "dynamic_rcnn": init_faster_rcnn,  # novelty is all in the train step
+        "double_head_rcnn": init_double_head_rcnn,
         "cascade_rcnn": init_cascade_rcnn,
         "fcos": init_fcos,
         "fsaf": init_fsaf,
+        "free_anchor": init_free_anchor,
+        "ghm": init_free_anchor,  # same plain retina model; GHM is a loss
+        "guided_anchor": init_ga_retinanet,
+        "pisa_retinanet": init_free_anchor,  # plain retina model; PISA is loss
         "autoassign": init_autoassign,
         "atss": init_atss,
         "vfnet": init_vfnet,
@@ -60,6 +71,9 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "reppoints": init_reppoints,
         "deformable_detr": init_deformable_detr,
         "mask_rcnn": init_mask_rcnn,
+        "mask_scoring_rcnn": init_mask_scoring_rcnn,
+        "rpn": init_rpn_only,
+        "fast_rcnn": init_fast_rcnn,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
     if checkpoint:
@@ -79,22 +93,36 @@ def make_eval_step_for(model, cfg):
     from .engine.gfl import make_gfl_eval_step
     from .engine.yolo import make_yolo_eval_step
     from .engine.fcos import make_fcos_eval_step
+    from .engine.free_anchor import make_free_anchor_eval_step
+    from .engine.guided_anchor import make_ga_eval_step
     from .engine.autoassign import make_autoassign_eval_step
     from .engine.fsaf import make_fsaf_eval_step
     from .engine.vfnet import make_vfnet_eval_step
-    from .engine.two_stage import make_cascade_eval_step, make_faster_rcnn_eval_step
+    from .engine.two_stage import (make_cascade_eval_step,
+                                   make_double_head_eval_step,
+                                   make_faster_rcnn_eval_step)
     from .engine.cornernet import make_cornernet_eval_step
     from .engine.deformable_detr import make_deformable_detr_eval_step
     from .engine.mask_rcnn import make_mask_rcnn_eval_step
+    from .engine.mask_scoring_rcnn import make_ms_rcnn_eval_step
     from .engine.reppoints import make_reppoints_eval_step
+    from .engine.rpn_only import make_rpn_eval_step
 
     fn = {
         "retinanet": make_eval_step,
         "ssd": make_eval_step,
         "faster_rcnn": make_faster_rcnn_eval_step,
+        "libra_rcnn": make_faster_rcnn_eval_step,
+        "pafpn": make_faster_rcnn_eval_step,
+        "dynamic_rcnn": make_faster_rcnn_eval_step,
+        "double_head_rcnn": make_double_head_eval_step,
         "cascade_rcnn": make_cascade_eval_step,
         "fcos": make_fcos_eval_step,
         "fsaf": make_fsaf_eval_step,
+        "free_anchor": make_free_anchor_eval_step,
+        "ghm": make_free_anchor_eval_step,  # retina eval, cfg stds differ
+        "guided_anchor": make_ga_eval_step,
+        "pisa_retinanet": make_free_anchor_eval_step,
         "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,
         "vfnet": make_vfnet_eval_step,
@@ -110,7 +138,16 @@ def make_eval_step_for(model, cfg):
         "reppoints": make_reppoints_eval_step,
         "deformable_detr": make_deformable_detr_eval_step,
         "mask_rcnn": make_mask_rcnn_eval_step,
-    }[_family(cfg)]
+        "mask_scoring_rcnn": make_ms_rcnn_eval_step,
+        "rpn": make_rpn_eval_step,
+    }
+    if _family(cfg) == "fast_rcnn":
+        raise ValueError(
+            "fast_rcnn eval needs external proposals: use "
+            "engine.rpn_only.make_fast_rcnn_eval_step(model, cfg)"
+            "(variables, batch, proposals, prop_valid) — the reference's "
+            "proposal_file contract (detectors/fast_rcnn.py)")
+    fn = fn[_family(cfg)]
     return fn(model, cfg)
 
 

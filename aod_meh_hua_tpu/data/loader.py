@@ -88,6 +88,33 @@ def _pad_gt(samples, max_gt):
     return boxes, labels, valid
 
 
+def transform_proposals(props: np.ndarray, sample: dict) -> np.ndarray:
+    """Run ORIGINAL-coordinate proposals through the sample's geometry
+    (the same scale/clip/flip applied to gt boxes in prepare_sample —
+    the reference transforms loaded proposals alongside bboxes,
+    datasets/pipelines/transforms.py Resize/RandomFlip)."""
+    props = np.asarray(props, np.float32).reshape(-1, 4) * sample["scale_factor"]
+    new_h, new_w = (int(sample["img_shape"][0]), int(sample["img_shape"][1]))
+    props[:, 0::2] = np.clip(props[:, 0::2], 0, new_w)
+    props[:, 1::2] = np.clip(props[:, 1::2], 0, new_h)
+    if sample["flipped"]:
+        x1 = props[:, 0].copy()
+        props[:, 0] = new_w - props[:, 2]
+        props[:, 2] = new_w - x1
+    return props
+
+
+def _pad_proposals(prop_list, num_slots: int):
+    b = len(prop_list)
+    out = np.zeros((b, num_slots, 4), np.float32)
+    valid = np.zeros((b, num_slots), bool)
+    for i, p in enumerate(prop_list):
+        n = min(len(p), num_slots)
+        out[i, :n] = p[:n]
+        valid[i, :n] = True
+    return out, valid
+
+
 def _orientation_of(dataset, idx: int) -> str:
     return "landscape" if dataset.aspect_flag(int(idx)) else "portrait"
 
@@ -108,6 +135,7 @@ class TrainLoader:
         augment_fn=None,
         num_workers: int = 4,
         with_masks: bool = False,
+        proposal_source=None,
     ):
         """augment_fn(img, ann, rng) -> (img, ann): pre-resize train-time
         augmentations (the SSD PhotoMetric/Expand/MinIoUCrop chain).
@@ -118,7 +146,13 @@ class TrainLoader:
         box-aligned [R, R] rasters (R = cfg.gt_mask_raster). The rasters
         are built from the ann's ORIGINAL-coordinate polygons — the
         box-aligned frame is invariant under the pipeline's axis-aligned
-        resize, so only the horizontal flip needs mirroring."""
+        resize, so only the horizontal flip needs mirroring.
+        proposal_source: callable(int dataset_idx) -> [P, 4] float32
+        proposals in ORIGINAL image coordinates (the reference's
+        proposal_file .pkls, datasets/custom.py:181); when given, yields
+        engine.rpn_only.ProposalBatch with the proposals run through the
+        same resize/clip/flip as the gt boxes, padded/truncated to
+        model_cfg.num_proposals slots (Fast R-CNN)."""
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.cfg = model_cfg
@@ -130,6 +164,7 @@ class TrainLoader:
         self.augment_fn = augment_fn
         self.num_workers = num_workers
         self.with_masks = with_masks
+        self.proposal_source = proposal_source
         self._pool = _shared_pool(num_workers) if num_workers > 0 else None
         self._gen = model_cfg.build_anchor_generator()
 
@@ -176,6 +211,9 @@ class TrainLoader:
                 if sample["flipped"]:
                     rast = rast[:, :, ::-1].copy()
                 sample["gt_rasters"] = rast
+            if self.proposal_source is not None:
+                sample["proposals"] = transform_proposals(
+                    self.proposal_source(int(i)), sample)
             return sample
 
         if self._pool is not None:
@@ -195,6 +233,13 @@ class TrainLoader:
 
             rasters = np.stack([s["gt_rasters"] for s in samples])
             return MaskBatch(images, boxes, labels, valid, av, shapes, rasters)
+        if self.proposal_source is not None:
+            from ..engine.rpn_only import ProposalBatch
+
+            props, pvalid = _pad_proposals(
+                [s["proposals"] for s in samples], self.cfg.num_proposals)
+            return ProposalBatch(images, boxes, labels, valid, shapes,
+                                 props, pvalid)
         return Batch(images, boxes, labels, valid, av, shapes)
 
     def burn_epochs(self, n: int) -> None:

@@ -16,6 +16,10 @@ from .ssd_detector import MEHSSD, build_ssd, init_ssd
 from .fcos import FCOS, FCOSHead, build_fcos, init_fcos
 from .autoassign import (AutoAssign, AutoAssignHead, build_autoassign,
                          init_autoassign)
+from .free_anchor import (FreeAnchorNet, RetinaHeadPlain, build_free_anchor,
+                          init_free_anchor)
+from .guided_anchor import (GARetinaNet, build_ga_retinanet,
+                            init_ga_retinanet)
 from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf
 from .vfnet import VFNet, VFNetHead, build_vfnet, init_vfnet
 from .atss import ATSS, ATSSHead, build_atss, init_atss
@@ -27,17 +31,26 @@ from .cornernet import CornerNet, init_cornernet
 from .deformable_detr import (DeformableDETR, build_deformable_detr,
                               init_deformable_detr)
 from .mask_rcnn import MaskRCNN, build_mask_rcnn, init_mask_rcnn
+from .mask_scoring_rcnn import (MaskIoUHead, MaskScoringRCNN,
+                                build_mask_scoring_rcnn,
+                                init_mask_scoring_rcnn)
+from .rpn_only import (FastRCNN, RPNOnly, build_fast_rcnn, build_rpn_only,
+                       init_fast_rcnn, init_rpn_only)
 from .reppoints import RepPoints, init_reppoints
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof
 from .foveabox import FoveaBox, build_foveabox, init_foveabox
 from .two_stage import (
     CascadeRCNN,
+    DoubleConvFCBBoxHead,
+    DoubleHeadRCNN,
     FasterRCNN,
     RPNHead,
     Shared2FCBBoxHead,
     build_cascade_rcnn,
+    build_double_head_rcnn,
     build_faster_rcnn,
     init_cascade_rcnn,
+    init_double_head_rcnn,
     init_faster_rcnn,
 )

@@ -62,7 +62,10 @@ class MaskRCNN(nn.Module):
         backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
         self.backbone = backbone_cls(
             block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
-            stem_s2d=self.cfg.stem_s2d, dtype=dtype, name="backbone")
+            stem_s2d=self.cfg.stem_s2d,
+            dcn=getattr(self.cfg, "backbone_dcn", None),
+            gcb_ratio=getattr(self.cfg, "backbone_gcb_ratio", None),
+            dtype=dtype, name="backbone")
         self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
                         num_outs=len(self.cfg.rpn.anchor_strides),
                         add_extra_convs="maxpool", dtype=dtype, name="neck")

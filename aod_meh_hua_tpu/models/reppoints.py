@@ -68,6 +68,7 @@ class DeformConv3x3(nn.Module):
     grid + offsets and contract each tap with its kernel slice."""
 
     features: int
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,8 +79,9 @@ class DeformConv3x3(nn.Module):
         b, h, w, cin = x.shape
         kernel = self.param("kernel", nn.initializers.he_uniform(),
                             (9, cin, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else jnp.zeros((self.features,), jnp.float32))
         gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                               jnp.arange(w, dtype=jnp.float32), indexing="ij")
 

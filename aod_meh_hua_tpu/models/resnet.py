@@ -53,6 +53,10 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     mc_dropout: float = 0.0
     int8: bool = False
+    # "dcn" (v1) / "mdcn" (modulated v2) replaces conv2 with a deformable
+    # conv (reference resnet.py:174-195, configs/dcn/*.py)
+    dcn: Any = None
+    gcb_ratio: Any = None  # GCNet ContextBlock after conv3 (configs/gcnet/)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,14 +67,26 @@ class Bottleneck(nn.Module):
                        self.dtype, "conv1")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = drop(nn.relu(y))
-        y = _make_conv(self.int8, self.planes, (3, 3),
-                       (self.stride, self.stride), ((1, 1), (1, 1)),
-                       self.dtype, "conv2")(y)
+        if self.dcn:
+            from .deform import DeformableConv3x3
+
+            y = DeformableConv3x3(self.planes, stride=self.stride,
+                                  modulated=(self.dcn == "mdcn"),
+                                  dtype=self.dtype, name="conv2")(y)
+        else:
+            y = _make_conv(self.int8, self.planes, (3, 3),
+                           (self.stride, self.stride), ((1, 1), (1, 1)),
+                           self.dtype, "conv2")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         y = drop(nn.relu(y))
         y = _make_conv(self.int8, self.planes * 4, (1, 1), (1, 1),
                        ((0, 0), (0, 0)), self.dtype, "conv3")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
+        if self.gcb_ratio:
+            from .deform import ContextBlock
+
+            y = ContextBlock(self.gcb_ratio, dtype=self.dtype,
+                             name="context_block")(y)
         if self.downsample:
             identity = _make_conv(self.int8, self.planes * 4, (1, 1),
                                   (self.stride, self.stride), ((0, 0), (0, 0)),
@@ -137,6 +153,13 @@ class ResNet(nn.Module):
     mc_dropout: float = 0.0
     stem_s2d: bool = False
     int8: bool = False  # dynamic-PTQ scoring mode (models/quant.py)
+    # "dcn"/"mdcn" + per-stage mask: deformable conv2 in those stages
+    # (reference stage_with_dcn=(False, True, True, True) = c3-c5)
+    dcn: Any = None
+    stage_with_dcn: Sequence[bool] = (False, True, True, True)
+    # GCNet ContextBlock after conv3 in c3-c5 (ratio 1/4 or 1/16)
+    gcb_ratio: Any = None
+    stage_with_gcb: Sequence[bool] = (False, True, True, True)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -159,6 +182,9 @@ class ResNet(nn.Module):
                 x = Bottleneck(
                     planes=planes, stride=stride, downsample=(b == 0),
                     mc_dropout=self.mc_dropout, int8=self.int8,
+                    dcn=(self.dcn if self.stage_with_dcn[stage] else None),
+                    gcb_ratio=(self.gcb_ratio
+                               if self.stage_with_gcb[stage] else None),
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x)
             outs.append(x)

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .fpn import FPN
+from .fpn import BFP, FPN
 from .resnet import ResNet
 from .detector import flatten_levels
 
@@ -103,19 +103,41 @@ class FasterRCNN(nn.Module):
         backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
         self.backbone = backbone_cls(
             block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
-            stem_s2d=self.cfg.stem_s2d, dtype=dtype, name="backbone")
-        self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
-                        num_outs=len(self.cfg.rpn.anchor_strides),
-                        add_extra_convs="maxpool", dtype=dtype, name="neck")
+            stem_s2d=self.cfg.stem_s2d,
+            dcn=getattr(self.cfg, "backbone_dcn", None),
+            gcb_ratio=getattr(self.cfg, "backbone_gcb_ratio", None),
+            dtype=dtype, name="backbone")
+        if getattr(self.cfg, "neck_type", "fpn") == "pafpn":
+            from .fpn import PAFPN
+
+            self.neck = PAFPN(out_channels=self.cfg.fpn_channels,
+                              start_level=0,
+                              num_outs=len(self.cfg.rpn.anchor_strides),
+                              dtype=dtype, name="neck")
+        else:
+            self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
+                            num_outs=len(self.cfg.rpn.anchor_strides),
+                            add_extra_convs="maxpool", dtype=dtype, name="neck")
         self.rpn_head = RPNHead(num_anchors=self.cfg.rpn.num_anchors,
                                 feat_channels=self.cfg.fpn_channels,
                                 dtype=dtype, name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(num_classes=self.cfg.num_classes,
                                            fc_channels=self.cfg.rcnn.fc_channels,
                                            dtype=dtype, name="bbox_head")
+        # Libra R-CNN: Balanced Feature Pyramid stacked after the FPN
+        # (reference configs/libra_rcnn/*.py neck=[FPN, BFP])
+        if getattr(self.cfg, "bfp_refine_level", None) is not None:
+            self.bfp = BFP(refine_level=self.cfg.bfp_refine_level,
+                           refine_type=self.cfg.bfp_refine_type,
+                           dtype=dtype, name="bfp")
+        else:
+            self.bfp = None
 
     def features(self, images: jnp.ndarray):
-        return self.neck(self.backbone(images))
+        feats = self.neck(self.backbone(images))
+        if self.bfp is not None:
+            feats = self.bfp(feats)
+        return feats
 
     def rpn(self, feats):
         return self.rpn_head(feats)
@@ -197,6 +219,154 @@ def build_faster_rcnn(cfg) -> FasterRCNN:
 
 def init_faster_rcnn(cfg, rng: jax.Array):
     model = build_faster_rcnn(cfg)
+    h, w = cfg.canvas
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, dummy)
+    return model, variables
+
+
+# --------------------------------------------------------------------------
+# Double-Head R-CNN (reference mmdet/models/roi_heads/double_roi_head.py +
+# bbox_heads/double_bbox_head.py, configs/double_heads/*.py)
+# --------------------------------------------------------------------------
+
+
+class _HeadBottleneck(nn.Module):
+    """Backbone-style bottleneck for the double head's conv branch, with
+    TRAINABLE BatchNorm (the head is new; only backbone BN is norm_eval)."""
+
+    planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       epsilon=1e-5, dtype=self.dtype,
+                                       name=name)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+        return nn.relu(y + x)
+
+
+class BasicResBlock(nn.Module):
+    """double_bbox_head.py:10-73: 3x3+BN+ReLU -> 1x1+BN main path, 1x1+BN
+    identity path, ReLU after the sum (channel lift 256 -> 1024)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       epsilon=1e-5, dtype=self.dtype,
+                                       name=name)
+        y = nn.Conv(x.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = bn("bn2")(y)
+        idt = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv_identity")(x)
+        idt = bn("bn_identity")(idt)
+        return nn.relu(y + idt)
+
+
+class DoubleConvFCBBoxHead(nn.Module):
+    """double_bbox_head.py:76-177: the reg branch is convolutional
+    (BasicResBlock + num_convs bottlenecks + global avg pool -> fc_reg),
+    the cls branch is fully connected (num_fcs fc + fc_cls)."""
+
+    num_classes: int
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_out_channels: int = 1024
+    fc_out_channels: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cls: jnp.ndarray, x_reg: jnp.ndarray,
+                 train: bool = False):
+        from jax.nn.initializers import normal, xavier_uniform, zeros
+
+        y = BasicResBlock(self.conv_out_channels, dtype=self.dtype,
+                          name="res_block")(x_reg, train)
+        for i in range(self.num_convs):
+            y = _HeadBottleneck(self.conv_out_channels // 4, dtype=self.dtype,
+                                name=f"conv_branch_{i}")(y, train)
+        y = y.mean(axis=(1, 2))  # with_avg_pool=True
+        reg = nn.Dense(self.num_classes * 4, kernel_init=normal(0.001),
+                       bias_init=zeros, dtype=self.dtype, name="fc_reg")(y)
+
+        f = x_cls.reshape(x_cls.shape[0], -1).astype(self.dtype)
+        for i in range(self.num_fcs):
+            f = nn.relu(nn.Dense(self.fc_out_channels,
+                                 kernel_init=xavier_uniform(),
+                                 bias_init=zeros, dtype=self.dtype,
+                                 name=f"fc_branch_{i}")(f))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=normal(0.01),
+                       bias_init=zeros, dtype=self.dtype, name="fc_cls")(f)
+        return (cls.astype(jnp.float32),
+                reg.astype(jnp.float32).reshape(-1, self.num_classes, 4))
+
+
+class DoubleHeadRCNN(nn.Module):
+    """Faster R-CNN trunk with the DoubleConvFCBBoxHead; the engine feeds
+    it two RoI extractions (cls at the roi, reg at 1.3x the roi)."""
+
+    cfg: Any  # DoubleHeadRCNNConfig
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
+        self.backbone = backbone_cls(
+            block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
+            stem_s2d=self.cfg.stem_s2d, dtype=dtype, name="backbone")
+        self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
+                        num_outs=len(self.cfg.rpn.anchor_strides),
+                        add_extra_convs="maxpool", dtype=dtype, name="neck")
+        self.rpn_head = RPNHead(num_anchors=self.cfg.rpn.num_anchors,
+                                feat_channels=self.cfg.fpn_channels,
+                                dtype=dtype, name="rpn_head")
+        self.bbox_head = DoubleConvFCBBoxHead(
+            num_classes=self.cfg.num_classes,
+            num_convs=self.cfg.dh_num_convs, num_fcs=self.cfg.dh_num_fcs,
+            conv_out_channels=self.cfg.dh_conv_out,
+            fc_out_channels=self.cfg.dh_fc_out,
+            dtype=dtype, name="bbox_head")
+
+    def features(self, images: jnp.ndarray):
+        return self.neck(self.backbone(images))
+
+    def rpn(self, feats):
+        return self.rpn_head(feats)
+
+    def roi_forward(self, cls_feats: jnp.ndarray, reg_feats: jnp.ndarray,
+                    train: bool = False):
+        return self.bbox_head(cls_feats, reg_feats, train)
+
+    def __call__(self, images: jnp.ndarray):
+        feats = self.features(images)
+        rpn_cls, rpn_reg = self.rpn_head(feats)
+        s = self.cfg.rcnn.roi_size
+        dummy = jnp.zeros((1, s, s, self.cfg.fpn_channels), jnp.float32)
+        cls, reg = self.bbox_head(dummy, dummy, False)
+        return rpn_cls, rpn_reg, cls, reg
+
+
+def build_double_head_rcnn(cfg) -> DoubleHeadRCNN:
+    return DoubleHeadRCNN(cfg=cfg)
+
+
+def init_double_head_rcnn(cfg, rng: jax.Array):
+    model = build_double_head_rcnn(cfg)
     h, w = cfg.canvas
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(model.init)(rng, dummy)

@@ -31,6 +31,7 @@ def max_iou_assign(
     min_pos_iou: float = 0.0,
     gt_max_assign_all: bool = True,
     match_low_quality: bool = True,
+    overlaps: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Assign each anchor a gt index following mmdet's 4-step MaxIoU rule.
 
@@ -49,7 +50,10 @@ def max_iou_assign(
     taking the highest matching gt index per anchor.
     """
     num_gt = gt_boxes.shape[0]
-    overlaps = bbox_overlaps(gt_boxes, anchors)  # [G, A]
+    if overlaps is None:
+        overlaps = bbox_overlaps(gt_boxes, anchors)  # [G, A]
+    # (ApproxMaxIoUAssigner passes per-square max-over-approx overlaps,
+    # approx_max_iou_assigner.py:76-82 — the 4-step rule is unchanged)
     overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
     if anchor_valid is not None:
         overlaps = jnp.where(anchor_valid[None, :], overlaps, -1.0)
@@ -162,6 +166,7 @@ class AnchorTargets(NamedTuple):
     bbox_targets: jnp.ndarray  # float32 [A, 4] encoded deltas (0 for non-pos)
     bbox_weights: jnp.ndarray  # float32 [A, 4]; 1 rows for pos
     num_pos: jnp.ndarray       # int32 scalar: max(#pos, 1) (reference's per-image clamp)
+    gt_inds: jnp.ndarray       # int32 [A]; assigned gt index (valid where pos)
 
 
 def anchor_targets(
@@ -208,4 +213,5 @@ def anchor_targets(
     num_pos = jnp.maximum(pos.sum().astype(jnp.int32), 1)
     return AnchorTargets(labels, label_weights.astype(jnp.float32),
                          bbox_targets.astype(jnp.float32),
-                         bbox_weights.astype(jnp.float32), num_pos)
+                         bbox_weights.astype(jnp.float32), num_pos,
+                         gt_idx.astype(jnp.int32))

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 import jax
+import numpy as np
 
 
 def weight_reduce_loss(
@@ -170,6 +171,67 @@ def smooth_l1_loss(
 ) -> jnp.ndarray:
     diff = jnp.abs(pred - target)
     loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def balanced_l1_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    beta: float = 1.0,
+    alpha: float = 0.5,
+    gamma: float = 1.5,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Balanced L1 (Libra R-CNN). Piecewise: below beta the gradient is
+    promoted logarithmically; above it is plain gamma-scaled L1, with
+    constants chosen so value and derivative are continuous at beta
+    (reference mmdet/models/losses/balanced_l1_loss.py:12-50, b such that
+    alpha*ln(b+1) = gamma)."""
+    diff = jnp.abs(pred - target)
+    b = np.e ** (gamma / alpha) - 1.0
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1.0) * jnp.log1p(b * diff / beta) - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta,
+    )
+    return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def bounded_iou_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    beta: float = 0.2,
+    eps: float = 1e-3,
+    reduction: str = "mean",
+    avg_factor: Optional[jnp.ndarray] = None,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Bounded IoU loss (reference mmdet/models/losses/iou_loss.py:41-84,
+    Guided Anchoring's shape loss): per-box 4 smooth-L1'd bounded-IoU
+    terms (dx, dy, dw, dh); the target-derived quantities carry no
+    gradient (torch.no_grad block)."""
+    px = (pred[..., 0] + pred[..., 2]) * 0.5
+    py = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    t = jax.lax.stop_gradient(target)
+    tx = (t[..., 0] + t[..., 2]) * 0.5
+    ty = (t[..., 1] + t[..., 3]) * 0.5
+    tw = t[..., 2] - t[..., 0]
+    th = t[..., 3] - t[..., 1]
+    dx = jnp.abs(tx - px)
+    dy = jnp.abs(ty - py)
+    loss_dx = 1 - jnp.maximum((tw - 2 * dx) / (tw + 2 * dx + eps), 0.0)
+    loss_dy = 1 - jnp.maximum((th - 2 * dy) / (th + 2 * dy + eps), 0.0)
+    loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
     return loss_weight * weight_reduce_loss(loss, weight, reduction, avg_factor)
 
 

@@ -119,12 +119,18 @@ def multilevel_roi_align(
     out_size: int = 7,
     sampling_ratio: int = 2,
     finest_scale: int = 56,
+    routing_rois: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Single-image multi-level extraction: each RoI reads the level its
     scale maps to. Static-shape version of the reference's boolean-index
     scatter: every level is aligned over ALL rois and a [R] mask selects.
-    feats: per-level [H_l, W_l, C]. Returns [R, out, out, C] (f32)."""
-    lvls = map_roi_levels(rois, len(feats), finest_scale)
+    feats: per-level [H_l, W_l, C]. Returns [R, out, out, C] (f32).
+    routing_rois: optional boxes used ONLY for the level mapping — the
+    reference's roi_scale_factor path routes on the ORIGINAL rois and
+    aligns on the rescaled ones (single_level_roi_extractor.py forward:
+    map_roi_levels before roi_rescale)."""
+    lvls = map_roi_levels(rois if routing_rois is None else routing_rois,
+                          len(feats), finest_scale)
     out = None
     for i, (feat, stride) in enumerate(zip(feats, strides)):
         o = roi_align(feat.astype(jnp.float32), rois, out_size,

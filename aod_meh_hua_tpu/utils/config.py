@@ -294,9 +294,11 @@ class RPNCfg:
     pos_iou_thr: float = 0.7
     neg_iou_thr: float = 0.3
     min_pos_iou: float = 0.3
-    # sampler (RandomSampler num=256, pos_fraction=0.5)
+    # sampler (RandomSampler num=256, pos_fraction=0.5; neg_pos_ub >= 0
+    # caps negatives at neg_pos_ub * num_pos — Libra sets 5)
     sampler_num: int = 256
     pos_fraction: float = 0.5
+    neg_pos_ub: int = -1
     # proposal generation
     train_nms_pre: int = 2000
     train_max_per_img: int = 1000
@@ -351,6 +353,12 @@ class FasterRCNNConfig:
     compute_dtype: str = "float32"
     remat: bool = False
     stem_s2d: bool = False
+    # "dcn"/"mdcn": deformable conv2 in backbone stages c3-c5
+    # (reference configs/dcn/faster_rcnn_r50_fpn_{dconv,mdconv}_c3-c5_*)
+    backbone_dcn: Optional[str] = None
+    # GCNet ContextBlock ratio (1/4 or 1/16) after conv3 in c3-c5
+    # (reference configs/gcnet/mask_rcnn_r50_fpn_r{4,16}_gcb_c3-c5_*)
+    backbone_gcb_ratio: Optional[float] = None
     test: TestCfg = field(default_factory=lambda: TestCfg(
         nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100,
         pre_nms_cands=1000))
@@ -438,6 +446,317 @@ class MaskRCNNConfig(FasterRCNNConfig):
     gt_mask_raster: int = 56
 
     family = "mask_rcnn"
+
+
+@dataclass(frozen=True)
+class MaskScoringRCNNConfig(MaskRCNNConfig):
+    """Mask Scoring R-CNN (reference
+    configs/ms_rcnn/ms_rcnn_r50_fpn_1x_coco.py +
+    mmdet/models/roi_heads/mask_heads/maskiou_head.py): Mask R-CNN plus
+    a MaskIoU head — 4 convs (last stride 2) + 2 FCs -> per-class mask
+    IoU, L2 loss weight 0.5 on positives whose IoU target is > 0; eval
+    reports mask_score = bbox_score * maskiou[label]."""
+
+    maskiou_convs: int = 4
+    maskiou_fcs: int = 2
+    maskiou_fc_channels: int = 1024
+    mask_thr_binary: float = 0.5
+    maskiou_loss_weight: float = 0.5
+
+    family = "mask_scoring_rcnn"
+
+
+@dataclass(frozen=True)
+class RPNOnlyConfig(FasterRCNNConfig):
+    """Proposal-only RPN (reference mmdet/models/detectors/rpn.py +
+    configs/rpn/rpn_r50_fpn_1x_coco.py): backbone + FPN + RPNHead
+    trained alone on class-agnostic gt boxes; eval emits the proposals
+    as single-class detections and is scored by AR@k proposal recall
+    (fast_eval_recall)."""
+
+    family = "rpn"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return 1
+
+
+@dataclass(frozen=True)
+class FastRCNNConfig(FasterRCNNConfig):
+    """Fast R-CNN (reference mmdet/models/detectors/fast_rcnn.py +
+    configs/fast_rcnn/fast_rcnn_r50_fpn_1x_coco.py): backbone + FPN +
+    RoI head consuming EXTERNALLY supplied proposals (the reference's
+    proposal_file .pkls; here fixed-width [B, P, 4] arrays with a valid
+    mask). num_proposals is P, the per-image proposal slot count."""
+
+    num_proposals: int = 512
+
+    family = "fast_rcnn"
+
+
+@dataclass(frozen=True)
+class LibraRCNNConfig(FasterRCNNConfig):
+    """Libra R-CNN (reference
+    configs/libra_rcnn/libra_faster_rcnn_r50_fpn_1x_coco.py +
+    mmdet/models/necks/bfp.py + core/bbox/samplers/
+    {instance_balanced_pos,iou_balanced_neg}_sampler.py +
+    models/losses/balanced_l1_loss.py): Faster R-CNN plus a Balanced
+    Feature Pyramid after the FPN, the IoU-balanced CombinedSampler in
+    the RoI head, Balanced L1 bbox regression, and RPN neg_pos_ub=5."""
+
+    bfp_refine_level: int = 2
+    bfp_refine_type: str = "non_local"
+    num_bins: int = 3
+    balanced_l1_alpha: float = 0.5
+    balanced_l1_gamma: float = 1.5
+    balanced_l1_beta: float = 1.0
+    rpn: RPNCfg = field(default_factory=lambda: RPNCfg(neg_pos_ub=5))
+
+    family = "libra_rcnn"
+
+
+@dataclass(frozen=True)
+class PAFPNFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with the Path Aggregation FPN (reference
+    configs/pafpn/faster_rcnn_r50_pafpn_1x_coco.py +
+    mmdet/models/necks/pafpn.py): the only delta is the neck's extra
+    bottom-up path."""
+
+    neck_type: str = "pafpn"
+
+    family = "pafpn"
+
+
+@dataclass(frozen=True)
+class DynamicRCNNConfig(FasterRCNNConfig):
+    """Dynamic R-CNN (reference
+    configs/dynamic_rcnn/dynamic_rcnn_r50_fpn_1x_coco.py +
+    mmdet/models/roi_heads/dynamic_roi_head.py): Faster R-CNN whose RoI
+    assigner IoU threshold and SmoothL1 beta adapt to the training
+    statistics every update_iter_interval iterations; proposal NMS at
+    IoU 0.85."""
+
+    iou_topk: int = 75
+    beta_topk: int = 10
+    update_iter_interval: int = 100
+    initial_iou: float = 0.4
+    initial_beta: float = 1.0
+    rpn: RPNCfg = field(default_factory=lambda: RPNCfg(nms_iou_thr=0.85))
+
+    family = "dynamic_rcnn"
+
+
+@dataclass(frozen=True)
+class DoubleHeadRCNNConfig(FasterRCNNConfig):
+    """Double-Head R-CNN (reference
+    configs/double_heads/dh_faster_rcnn_r50_fpn_1x_coco.py +
+    mmdet/models/roi_heads/double_roi_head.py + bbox_heads/
+    double_bbox_head.py): the RoI head splits into a convolutional
+    regression branch (BasicResBlock + 4 bottlenecks, fed 1.3x-rescaled
+    RoIs) and a fully connected classification branch; both losses at
+    weight 2.0."""
+
+    reg_roi_scale_factor: float = 1.3
+    dh_num_convs: int = 4
+    dh_num_fcs: int = 2
+    dh_conv_out: int = 1024
+    dh_fc_out: int = 1024
+    cls_loss_weight: float = 2.0
+    bbox_loss_weight: float = 2.0
+
+    family = "double_head_rcnn"
+
+
+@dataclass(frozen=True)
+class FreeAnchorConfig:
+    """FreeAnchor RetinaNet R50-FPN, VOC classes (reference
+    configs/free_anchor/retinanet_free_anchor_r50_fpn_1x_coco.py +
+    mmdet/models/dense_heads/free_anchor_retina_head.py): standard
+    retina head/anchors, but assignment is learned — each gt owns a bag
+    of its pre_anchor_topk highest-IoU anchors and the loss maximizes a
+    mean-max matching likelihood instead of hard targets."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (608, 1024)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 1
+    fpn_channels: int = 256
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    octave_base_scale: int = 4
+    scales_per_octave: int = 3
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    # FreeAnchor bag settings (free_anchor_retina_head.py:39-42)
+    pre_anchor_topk: int = 50
+    bbox_thr: float = 0.6
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.5
+    smooth_l1_beta: float = 0.11
+    bbox_loss_weight: float = 0.75
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100))
+
+    family = "free_anchor"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.ratios) * self.scales_per_octave
+
+    @property
+    def pos_iou_thr(self) -> float:
+        return 0.5
+
+    @property
+    def neg_iou_thr(self) -> float:
+        return 0.4
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=self.ratios,
+            octave_base_scale=self.octave_base_scale,
+            scales_per_octave=self.scales_per_octave,
+        )
+
+    def for_orientation(self, orientation: str) -> "FreeAnchorConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        assert h % 32 == 0 and w % 32 == 0, "canvas must be divisible by 32"
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        a = self.num_anchors
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w * a
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
+class GHMConfig(FreeAnchorConfig):
+    """GHM RetinaNet (reference
+    configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py +
+    mmdet/models/losses/ghm_loss.py): the plain retina model with
+    MaxIoU-0.5/0.4 targets at stds 1.0, trained with GHMC / GHMR —
+    gradient-density-harmonized classification and regression losses
+    whose EMA bin counts live in batch_stats (engine/ghm.py)."""
+
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    ghmc_bins: int = 30
+    ghmc_momentum: float = 0.75
+    ghmr_mu: float = 0.02
+    ghmr_bins: int = 10
+    ghmr_momentum: float = 0.7
+    ghmr_weight: float = 10.0
+
+    family = "ghm"
+
+
+@dataclass(frozen=True)
+class PISARetinaNetConfig(FreeAnchorConfig):
+    """PISA RetinaNet (reference configs/pisa/pisa_retinanet_r50_fpn_1x
+    _coco.py + mmdet/models/losses/pisa_loss.py + dense_heads/
+    pisa_retinanet_head.py): the plain retina model and targets, with
+    ISR-P importance reweighting of positive cls weights and the CARL
+    classification-aware regression loss (engine/pisa.py)."""
+
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    smooth_l1_beta: float = 0.11
+    isr_k: float = 2.0
+    isr_bias: float = 0.0
+    carl_k: float = 1.0
+    carl_bias: float = 0.2
+
+    family = "pisa_retinanet"
+
+
+@dataclass(frozen=True)
+class GARetinaNetConfig(FreeAnchorConfig):
+    """GA-RetinaNet (reference
+    configs/guided_anchoring/ga_retinanet_r50_fpn_1x_coco.py +
+    mmdet/models/dense_heads/{ga_retina_head,guided_anchor_head}.py):
+    ONE square anchor per cell (square generator scales [4], ratios
+    [1.0]); 9 approx anchors per cell drive the shape assignment
+    (ApproxMaxIoUAssigner pos .5 / neg .4 / min_pos .4); loc branch is
+    a focal-loss objectness over center/ignore regions; shape branch
+    trains with BoundedIoU on decoded anchors; cls/reg train on the
+    predicted (guided) anchors with the base retina assigner overridden
+    to neg_iou_thr .5 / min_pos_iou 0 and SmoothL1 beta .04, all at
+    coder stds 1.0."""
+
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    square_scale: int = 4  # == approx octave_base_scale (asserted upstream)
+    loc_filter_thr: float = 0.01
+    center_ratio: float = 0.2
+    ignore_ratio: float = 0.5
+    ga_pos_iou_thr: float = 0.5
+    ga_neg_iou_thr: float = 0.4
+    ga_min_pos_iou: float = 0.4
+    ga_sampler_num: int = 256
+    ga_pos_fraction: float = 0.5
+    cls_pos_iou_thr: float = 0.5
+    cls_neg_iou_thr: float = 0.5
+    smooth_l1_beta: float = 0.04
+    loc_focal_gamma: float = 2.0
+    loc_focal_alpha: float = 0.25
+    bounded_iou_beta: float = 0.2
+
+    family = "guided_anchor"
+
+    @property
+    def num_anchors(self) -> int:
+        return 1  # one square / guided anchor per cell
+
+    @property
+    def approxs_per_cell(self) -> int:
+        return len(self.ratios) * self.scales_per_octave
+
+    def build_anchor_generator(self):
+        """The SQUARE generator — defines the A axis everywhere
+        (anchor_valid flags, level bounds, head outputs)."""
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=(1.0,),
+            scales=(float(self.square_scale),),
+            octave_base_scale=self.square_scale, scales_per_octave=1,
+        )
+
+    def build_approx_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=self.ratios,
+            octave_base_scale=self.octave_base_scale,
+            scales_per_octave=self.scales_per_octave,
+        )
 
 
 @dataclass(frozen=True)
@@ -1687,6 +2006,89 @@ def tiny_faster_rcnn_config(**overrides) -> FasterRCNNConfig:
     return FasterRCNNConfig(**base)
 
 
+def tiny_libra_config(**overrides) -> LibraRCNNConfig:
+    """A shrunken Libra R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64, neg_pos_ub=5),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return LibraRCNNConfig(**base)
+
+
+def tiny_pafpn_config(**overrides) -> PAFPNFasterRCNNConfig:
+    """A shrunken PAFPN Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return PAFPNFasterRCNNConfig(**base)
+
+
+def tiny_dynamic_rcnn_config(**overrides) -> DynamicRCNNConfig:
+    """A shrunken Dynamic R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64, nms_iou_thr=0.85),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        iou_topk=8,
+        beta_topk=2,
+        update_iter_interval=4,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return DynamicRCNNConfig(**base)
+
+
+def tiny_double_head_config(**overrides) -> DoubleHeadRCNNConfig:
+    """A shrunken Double-Head R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        dh_num_convs=1,
+        dh_num_fcs=1,
+        dh_conv_out=16,
+        dh_fc_out=32,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return DoubleHeadRCNNConfig(**base)
+
+
 def tiny_mask_rcnn_config(**overrides) -> MaskRCNNConfig:
     """A shrunken Mask R-CNN for fast CPU unit tests."""
     base = dict(
@@ -1709,6 +2111,70 @@ def tiny_mask_rcnn_config(**overrides) -> MaskRCNNConfig:
     )
     base.update(overrides)
     return MaskRCNNConfig(**base)
+
+
+def tiny_mask_scoring_config(**overrides) -> MaskScoringRCNNConfig:
+    """A shrunken Mask Scoring R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        mask_convs=2,
+        mask_channels=8,
+        mask_size=14,
+        mask_roi_size=7,
+        gt_mask_raster=28,
+        maskiou_convs=2,
+        maskiou_fc_channels=32,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return MaskScoringRCNNConfig(**base)
+
+
+def tiny_rpn_config(**overrides) -> RPNOnlyConfig:
+    """A shrunken proposal-only RPN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return RPNOnlyConfig(**base)
+
+
+def tiny_fast_rcnn_config(**overrides) -> FastRCNNConfig:
+    """A shrunken Fast R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        num_proposals=64,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return FastRCNNConfig(**base)
 
 
 def tiny_fcos_config(**overrides) -> FCOSConfig:
@@ -1778,6 +2244,76 @@ def tiny_fsaf_config(**overrides) -> FSAFConfig:
     )
     base.update(overrides)
     return FSAFConfig(**base)
+
+
+def tiny_free_anchor_config(**overrides) -> FreeAnchorConfig:
+    """A shrunken FreeAnchor for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        pre_anchor_topk=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return FreeAnchorConfig(**base)
+
+
+def tiny_ghm_config(**overrides) -> GHMConfig:
+    """A shrunken GHM RetinaNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return GHMConfig(**base)
+
+
+def tiny_pisa_config(**overrides) -> PISARetinaNetConfig:
+    """A shrunken PISA RetinaNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return PISARetinaNetConfig(**base)
+
+
+def tiny_ga_config(**overrides) -> GARetinaNetConfig:
+    """A shrunken GA-RetinaNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        ga_sampler_num=64,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return GARetinaNetConfig(**base)
 
 
 def tiny_gfl_config(**overrides) -> GFLConfig:
@@ -2057,9 +2593,20 @@ def tiny_test_config(**overrides) -> RetinaNetConfig:
 # explicit so a new family lands in every tool by being added ONCE.
 ZOO_FAMILIES = {
     "faster_rcnn": (FasterRCNNConfig, tiny_faster_rcnn_config),
+    "libra_rcnn": (LibraRCNNConfig, tiny_libra_config),
+    "pafpn": (PAFPNFasterRCNNConfig, tiny_pafpn_config),
+    "dynamic_rcnn": (DynamicRCNNConfig, tiny_dynamic_rcnn_config),
+    "double_head_rcnn": (DoubleHeadRCNNConfig, tiny_double_head_config),
     "cascade_rcnn": (CascadeRCNNConfig, tiny_cascade_config),
     "mask_rcnn": (MaskRCNNConfig, tiny_mask_rcnn_config),
+    "mask_scoring_rcnn": (MaskScoringRCNNConfig, tiny_mask_scoring_config),
+    "rpn": (RPNOnlyConfig, tiny_rpn_config),
+    "fast_rcnn": (FastRCNNConfig, tiny_fast_rcnn_config),
     "fcos": (FCOSConfig, tiny_fcos_config),
+    "free_anchor": (FreeAnchorConfig, tiny_free_anchor_config),
+    "ghm": (GHMConfig, tiny_ghm_config),
+    "guided_anchor": (GARetinaNetConfig, tiny_ga_config),
+    "pisa_retinanet": (PISARetinaNetConfig, tiny_pisa_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),
     "atss": (ATSSConfig, tiny_atss_config),

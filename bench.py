@@ -107,8 +107,14 @@ def bench_train(model, variables, cfg, args):
                   av, shapes)
     batch = jax.device_put(batch)
 
-    state, aux = step(state, batch)  # compile
-    float(np.asarray(aux["loss"]))
+    # warmup: the first call compiles; on the axon relay the SECOND
+    # dispatch of a fresh executable pays a large one-time cost
+    # (~30-40s observed: executable upload/journal replay), so burn TWO
+    # more synced steps before opening the timed window — otherwise the
+    # timer absorbs it and reports ~0.5 img/s for a 65 img/s step
+    for _ in range(3):
+        state, aux = step(state, batch)
+        float(np.asarray(aux["loss"]))
     t0 = time.perf_counter()
     for _ in range(args.train_iters):
         state, aux = step(state, batch)

@@ -144,13 +144,23 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
     from aod_meh_hua_tpu.engine.fsaf import make_fsaf_train_step
     from aod_meh_hua_tpu.engine.vfnet import make_vfnet_train_step
+    from aod_meh_hua_tpu.engine.free_anchor import make_free_anchor_train_step
+    from aod_meh_hua_tpu.engine.ghm import make_ghm_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
+    from aod_meh_hua_tpu.engine.guided_anchor import make_ga_train_step
     from aod_meh_hua_tpu.engine.mask_rcnn import (MaskBatch,
                                                   make_mask_rcnn_train_step)
+    from aod_meh_hua_tpu.engine.mask_scoring_rcnn import \
+        make_ms_rcnn_train_step
     from aod_meh_hua_tpu.engine.paa import make_paa_train_step
     from aod_meh_hua_tpu.engine.reppoints import make_reppoints_train_step
+    from aod_meh_hua_tpu.engine.rpn_only import (ProposalBatch,
+                                                 make_fast_rcnn_train_step,
+                                                 make_rpn_train_step)
     from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
-    from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
+    from aod_meh_hua_tpu.engine.two_stage import (
+        make_double_head_train_step, make_dynamic_rcnn_train_step,
+        make_faster_rcnn_train_step)
     from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
     from aod_meh_hua_tpu.engine.yolof import make_yolof_train_step
     from aod_meh_hua_tpu.ops import anchor_valid_flags
@@ -161,8 +171,12 @@ def test_zoo_families_train_on_mesh():
         tiny_cornernet_config, tiny_deformable_detr_config, tiny_detr_config,
         tiny_faster_rcnn_config,
         tiny_fcos_config, tiny_foveabox_config, tiny_fsaf_config,
-        tiny_gfl_config, tiny_mask_rcnn_config, tiny_paa_config,
-        tiny_reppoints_config,
+        tiny_double_head_config, tiny_dynamic_rcnn_config,
+        tiny_fast_rcnn_config, tiny_free_anchor_config, tiny_ga_config,
+        tiny_gfl_config, tiny_ghm_config, tiny_libra_config,
+        tiny_mask_rcnn_config, tiny_mask_scoring_config,
+        tiny_paa_config, tiny_pafpn_config,
+        tiny_reppoints_config, tiny_rpn_config,
         tiny_sparse_rcnn_config, tiny_vfnet_config, tiny_yolo_config,
         tiny_yolof_config,
     )
@@ -172,6 +186,13 @@ def test_zoo_families_train_on_mesh():
     rng = np.random.RandomState(0)
     cases = [
         (tiny_faster_rcnn_config(), make_faster_rcnn_train_step, True),
+        (tiny_libra_config(), make_faster_rcnn_train_step, True),
+        (tiny_pafpn_config(), make_faster_rcnn_train_step, True),
+        (tiny_dynamic_rcnn_config(), make_dynamic_rcnn_train_step, True),
+        (tiny_double_head_config(), make_double_head_train_step, True),
+        (tiny_free_anchor_config(), make_free_anchor_train_step, False),
+        (tiny_ghm_config(), make_ghm_train_step, False),
+        (tiny_ga_config(), make_ga_train_step, True),
         (tiny_fcos_config(), make_fcos_train_step, False),
         (tiny_fsaf_config(), make_fsaf_train_step, False),
         (tiny_autoassign_config(), make_autoassign_train_step, False),
@@ -189,6 +210,9 @@ def test_zoo_families_train_on_mesh():
         (tiny_reppoints_config(), make_reppoints_train_step, False),
         (tiny_deformable_detr_config(), make_deformable_detr_train_step, True),
         (tiny_mask_rcnn_config(), make_mask_rcnn_train_step, True),
+        (tiny_mask_scoring_config(), make_ms_rcnn_train_step, True),
+        (tiny_rpn_config(), make_rpn_train_step, True),
+        (tiny_fast_rcnn_config(), make_fast_rcnn_train_step, True),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)
@@ -209,11 +233,16 @@ def test_zoo_families_train_on_mesh():
                                 cfg.featmap_sizes(), shapes)
         if cfg.family == "fcos":
             av = np.ones((b, 1), bool)
-        if cfg.family == "mask_rcnn":
+        if cfg.family in ("mask_rcnn", "mask_scoring_rcnn"):
             rasters = np.ones((b, g, cfg.gt_mask_raster, cfg.gt_mask_raster),
                               np.float32)
             host = MaskBatch(images, boxes, labels, gt_valid, av, shapes,
                              rasters)
+        elif cfg.family == "fast_rcnn":
+            props = np.tile(boxes[:, :1], (1, cfg.num_proposals, 1))
+            pvalid = np.ones((b, cfg.num_proposals), bool)
+            host = ProposalBatch(images, boxes, labels, gt_valid, shapes,
+                                 props, pvalid)
         else:
             host = Batch(images, boxes, labels, gt_valid, av, shapes)
         batch = shard_batch(host, mesh)

@@ -173,6 +173,45 @@ def test_show_selected_cli(voc_with_results, tmp_path):
     assert len(files) == 2 and all(f.startswith("rank") for f in files)
 
 
+def test_rpn_to_fast_rcnn_cli_workflow(voc_with_results, tmp_path):
+    """The reference's two-step detached pipeline end-to-end through the
+    real CLIs (configs/rpn/* -> proposal dump -> configs/fast_rcnn/*):
+    train an RPN, dump proposals with tools/gen_proposals.py, train
+    Fast R-CNN from the .npz. Mini models, one epoch each."""
+    base, _, _ = voc_with_results
+    test_txt = os.path.join(base, "ImageSets/Main/test.txt")
+    if not os.path.exists(test_txt):
+        ids = [l.strip() for l in
+               open(os.path.join(base, "ImageSets/Main/trainval.txt"))]
+        with open(test_txt, "w") as f:
+            f.write("\n".join(ids[:2]))
+    work = str(tmp_path / "rpnwork")
+    out = _run(["tools/train_detector.py", "--family", "rpn", "--mini",
+                "--cpu", "--voc07", base, "--work-dir", work,
+                "--epochs", "1"])
+    assert "mean loss" in out and "nan" not in out
+    assert "mAP" in out  # AR@100 reported under the shared key
+    ckpt = os.path.join(work, "rpn_final.ckpt")
+    assert os.path.exists(ckpt)
+
+    props = os.path.join(work, "proposals.npz")
+    out = _run(["tools/gen_proposals.py", "--voc07", base,
+                "--split", "ImageSets/Main/trainval.txt",
+                "--checkpoint", ckpt, "--mini", "--cpu", "--out", props])
+    assert "wrote" in out
+    npz = np.load(props)
+    assert len(npz.files) == 8  # one entry per trainval image
+    assert npz["0"].shape[1] == 5  # [P, 5] boxes + scores
+
+    work2 = str(tmp_path / "frcnnwork")
+    out = _run(["tools/train_detector.py", "--family", "fast_rcnn",
+                "--mini", "--cpu", "--voc07", base, "--work-dir", work2,
+                "--epochs", "1", "--proposal-file", props,
+                "--lr", "0.005"])
+    assert "mean loss" in out and "nan" not in out
+    assert os.path.exists(os.path.join(work2, "fast_rcnn_final.ckpt"))
+
+
 def test_train_detector_cli(voc_with_results, tmp_path):
     """Generic zoo trainer (upstream tools/train.py equivalent): one FCOS
     mini epoch through the real CLI produces a finite loss, an eval mAP

@@ -74,6 +74,15 @@ def parse_args():
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--proposal-file", default=None,
+                    help="fast_rcnn: .npz of per-image [P, 5] proposals "
+                         "keyed by dataset index, ORIGINAL image coords "
+                         "(the reference's data.train.proposal_file .pkls; "
+                         "write one with tools/gen_proposals.py)")
+    ap.add_argument("--proposal-file-val", default=None,
+                    help="fast_rcnn: proposals for the VAL split "
+                         "(data.test.proposal_file); defaults to "
+                         "--proposal-file")
     return ap.parse_args()
 
 
@@ -89,18 +98,45 @@ def build(family, mini, dtype):
 
 def make_steps(family, model, cfg, tx):
     """Uniform step(state, batch, key) signature across families."""
-    if family == "faster_rcnn":
+    if family in ("faster_rcnn", "libra_rcnn", "pafpn"):
         from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
 
         return make_faster_rcnn_train_step(model, cfg, tx)
+    if family == "dynamic_rcnn":
+        from aod_meh_hua_tpu.engine.two_stage import \
+            make_dynamic_rcnn_train_step
+
+        return make_dynamic_rcnn_train_step(model, cfg, tx)
+    if family == "double_head_rcnn":
+        from aod_meh_hua_tpu.engine.two_stage import \
+            make_double_head_train_step
+
+        return make_double_head_train_step(model, cfg, tx)
     if family == "mask_rcnn":
         from aod_meh_hua_tpu.engine.mask_rcnn import make_mask_rcnn_train_step
 
         return make_mask_rcnn_train_step(model, cfg, tx)
+    if family == "mask_scoring_rcnn":
+        from aod_meh_hua_tpu.engine.mask_scoring_rcnn import \
+            make_ms_rcnn_train_step
+
+        return make_ms_rcnn_train_step(model, cfg, tx)
+    if family == "rpn":
+        from aod_meh_hua_tpu.engine.rpn_only import make_rpn_train_step
+
+        return make_rpn_train_step(model, cfg, tx)
+    if family == "fast_rcnn":
+        from aod_meh_hua_tpu.engine.rpn_only import make_fast_rcnn_train_step
+
+        return make_fast_rcnn_train_step(model, cfg, tx)
     if family == "cascade_rcnn":
         from aod_meh_hua_tpu.engine.two_stage import make_cascade_train_step
 
         return make_cascade_train_step(model, cfg, tx)
+    if family == "guided_anchor":
+        from aod_meh_hua_tpu.engine.guided_anchor import make_ga_train_step
+
+        return make_ga_train_step(model, cfg, tx)
     if family == "detr":
         from aod_meh_hua_tpu.engine.detr import make_detr_train_step
 
@@ -154,6 +190,19 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.fsaf import make_fsaf_train_step
 
         inner = make_fsaf_train_step(model, cfg, tx)
+    elif family == "free_anchor":
+        from aod_meh_hua_tpu.engine.free_anchor import \
+            make_free_anchor_train_step
+
+        inner = make_free_anchor_train_step(model, cfg, tx)
+    elif family == "ghm":
+        from aod_meh_hua_tpu.engine.ghm import make_ghm_train_step
+
+        inner = make_ghm_train_step(model, cfg, tx)
+    elif family == "pisa_retinanet":
+        from aod_meh_hua_tpu.engine.pisa import make_pisa_retina_train_step
+
+        inner = make_pisa_retina_train_step(model, cfg, tx)
     elif family == "autoassign":
         from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
 
@@ -300,6 +349,19 @@ def main():
             return {"mAP": eval_map(results, anns, iou_thr=0.5,
                                     mode="11points")["mAP"]}
 
+    if args.family == "rpn":
+        from aod_meh_hua_tpu.engine.rpn_only import proposal_recall
+
+        def eval_fn(results, anns):
+            # class-agnostic AR@100 (rpn.py evaluation metric=
+            # 'proposal_fast', datasets/coco.py fast_eval_recall);
+            # reported under the mAP key so the epoch log row and the
+            # best-metric plumbing stay uniform
+            boxes = [r[0][:, :4] for r in results]
+            valid = [np.ones(len(b), bool) for b in boxes]
+            ar = proposal_recall(boxes, valid, [a["bboxes"] for a in anns])
+            return {"mAP": ar, "AR@100": ar}
+
     mean = getattr(cfg, "img_mean", (123.675, 116.28, 103.53))
     std = getattr(cfg, "img_std", (58.395, 57.12, 57.375))
     pipe = PipelineConfig(canvas=cfg.canvas, mean=mean, std=std,
@@ -312,9 +374,24 @@ def main():
         # tiny canvases are (64, 128): keep-ratio scale that always fits
         pipe = PipelineConfig(img_scale=(128, 60), canvas=cfg.canvas,
                               mean=mean, std=std, device_normalize=True)
+    proposal_source = None
+    if args.family == "fast_rcnn":
+        # the reference trains Fast R-CNN from precomputed proposal files
+        # (configs/fast_rcnn/*, datasets/custom.py proposal_file); here a
+        # .npz keyed by dataset index (tools/gen_proposals.py writes one
+        # from a trained RPN checkpoint)
+        if not args.proposal_file:
+            raise SystemExit("--family fast_rcnn requires --proposal-file "
+                             "(generate with tools/gen_proposals.py)")
+        prop_npz = np.load(args.proposal_file)
+        prop_npz_val = (np.load(args.proposal_file_val)
+                        if args.proposal_file_val else prop_npz)
+        proposal_source = lambda i: prop_npz[str(i)][:, :4]
     loader = TrainLoader(train_set, np.arange(len(train_set)), cfg, pipe,
                          batch_size=args.batch_size, seed=args.seed,
-                         with_masks=(args.family == "mask_rcnn"))
+                         with_masks=(args.family in ("mask_rcnn",
+                                                     "mask_scoring_rcnn")),
+                         proposal_source=proposal_source)
     eval_steps = {}
     key = jax.random.PRNGKey(args.seed)
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
@@ -348,11 +425,31 @@ def main():
                                  batch_size=max(args.batch_size, 4))
             for orientation, ebatch, idx in vloader:
                 if orientation not in eval_steps:
-                    eval_steps[orientation] = make_eval_step_for(
-                        model, cfg.for_orientation(orientation))
-                dets = eval_steps[orientation](variables, ebatch)
+                    if args.family == "fast_rcnn":
+                        from aod_meh_hua_tpu.engine.rpn_only import \
+                            make_fast_rcnn_eval_step
+
+                        eval_steps[orientation] = make_fast_rcnn_eval_step(
+                            model, cfg.for_orientation(orientation))
+                    else:
+                        eval_steps[orientation] = make_eval_step_for(
+                            model, cfg.for_orientation(orientation))
+                if args.family == "fast_rcnn":
+                    from aod_meh_hua_tpu.data.loader import _pad_proposals
+
+                    sf = np.asarray(ebatch.scale_factors)
+                    plist = [prop_npz_val[str(i)][:, :4] * sf[k]
+                             for k, i in enumerate(idx)]
+                    while len(plist) < ebatch.images.shape[0]:  # tail pad
+                        plist.append(np.zeros((0, 4), np.float32))
+                    props, pvalid = _pad_proposals(plist, cfg.num_proposals)
+                    dets = eval_steps[orientation](variables, ebatch,
+                                                   props, pvalid)
+                else:
+                    dets = eval_steps[orientation](variables, ebatch)
+                nc = 1 if args.family == "rpn" else cfg.num_classes
                 results.extend(detections_to_per_class(
-                    dets, cfg.num_classes, np.asarray(ebatch.valid)))
+                    dets, nc, np.asarray(ebatch.valid)))
                 order.extend(idx.tolist())
             if proc_count > 1:
                 from aod_meh_hua_tpu.parallel import collect_objects
