@@ -56,6 +56,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "ghm": init_free_anchor,  # same plain retina model; GHM is a loss
         "guided_anchor": init_ga_retinanet,
         "pisa_retinanet": init_free_anchor,  # plain retina model; PISA is loss
+        "pisa_faster_rcnn": init_faster_rcnn,  # PISA lives in the train step
         "autoassign": init_autoassign,
         "atss": init_atss,
         "vfnet": init_vfnet,
@@ -123,6 +124,7 @@ def make_eval_step_for(model, cfg):
         "ghm": make_free_anchor_eval_step,  # retina eval, cfg stds differ
         "guided_anchor": make_ga_eval_step,
         "pisa_retinanet": make_free_anchor_eval_step,
+        "pisa_faster_rcnn": make_faster_rcnn_eval_step,
         "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,
         "vfnet": make_vfnet_eval_step,

@@ -680,6 +680,32 @@ class GHMConfig(FreeAnchorConfig):
 
 
 @dataclass(frozen=True)
+class PISAFasterRCNNConfig(FasterRCNNConfig):
+    """PISA Faster R-CNN (reference configs/pisa/pisa_faster_rcnn_r50_
+    fpn_1x_coco.py + roi_heads/pisa_roi_head.py + samplers/
+    score_hlr_sampler.py): ScoreHLR negative sampling/weighting (one
+    extra no-grad RoI pass), ISR-P positive reweighting and CARL in the
+    RoI loss; RPN proposals widened to 2000 train/test."""
+
+    isr_k: float = 2.0
+    isr_bias: float = 0.0
+    carl_k: float = 1.0
+    carl_bias: float = 0.2
+    hlr_k: float = 0.5
+    hlr_bias: float = 0.0
+    hlr_score_thr: float = 0.05
+    hlr_iou_thr: float = 0.5
+    rpn: RPNCfg = field(default_factory=lambda: RPNCfg(
+        train_nms_pre=2000, train_max_per_img=2000,
+        test_nms_pre=2000, test_max_per_img=2000,
+        sampler_num=256))
+    rcnn: RCNNCfg = field(default_factory=lambda: RCNNCfg(
+        sampler_num=512, pos_fraction=0.25))
+
+    family = "pisa_faster_rcnn"
+
+
+@dataclass(frozen=True)
 class PISARetinaNetConfig(FreeAnchorConfig):
     """PISA RetinaNet (reference configs/pisa/pisa_retinanet_r50_fpn_1x
     _coco.py + mmdet/models/losses/pisa_loss.py + dense_heads/
@@ -2281,6 +2307,25 @@ def tiny_ghm_config(**overrides) -> GHMConfig:
     return GHMConfig(**base)
 
 
+def tiny_pisa_rcnn_config(**overrides) -> PISAFasterRCNNConfig:
+    """A shrunken PISA Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, pos_fraction=0.25, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return PISAFasterRCNNConfig(**base)
+
+
 def tiny_pisa_config(**overrides) -> PISARetinaNetConfig:
     """A shrunken PISA RetinaNet for fast CPU unit tests."""
     base = dict(
@@ -2607,6 +2652,7 @@ ZOO_FAMILIES = {
     "ghm": (GHMConfig, tiny_ghm_config),
     "guided_anchor": (GARetinaNetConfig, tiny_ga_config),
     "pisa_retinanet": (PISARetinaNetConfig, tiny_pisa_config),
+    "pisa_faster_rcnn": (PISAFasterRCNNConfig, tiny_pisa_rcnn_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),
     "atss": (ATSSConfig, tiny_atss_config),

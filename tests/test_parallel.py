@@ -145,6 +145,8 @@ def test_zoo_families_train_on_mesh():
     from aod_meh_hua_tpu.engine.fsaf import make_fsaf_train_step
     from aod_meh_hua_tpu.engine.vfnet import make_vfnet_train_step
     from aod_meh_hua_tpu.engine.free_anchor import make_free_anchor_train_step
+    from aod_meh_hua_tpu.engine.pisa import (make_pisa_rcnn_train_step,
+                                             make_pisa_retina_train_step)
     from aod_meh_hua_tpu.engine.ghm import make_ghm_train_step
     from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
     from aod_meh_hua_tpu.engine.guided_anchor import make_ga_train_step
@@ -175,7 +177,8 @@ def test_zoo_families_train_on_mesh():
         tiny_fast_rcnn_config, tiny_free_anchor_config, tiny_ga_config,
         tiny_gfl_config, tiny_ghm_config, tiny_libra_config,
         tiny_mask_rcnn_config, tiny_mask_scoring_config,
-        tiny_paa_config, tiny_pafpn_config,
+        tiny_paa_config, tiny_pafpn_config, tiny_pisa_config,
+        tiny_pisa_rcnn_config,
         tiny_reppoints_config, tiny_rpn_config,
         tiny_sparse_rcnn_config, tiny_vfnet_config, tiny_yolo_config,
         tiny_yolof_config,
@@ -193,6 +196,8 @@ def test_zoo_families_train_on_mesh():
         (tiny_free_anchor_config(), make_free_anchor_train_step, False),
         (tiny_ghm_config(), make_ghm_train_step, False),
         (tiny_ga_config(), make_ga_train_step, True),
+        (tiny_pisa_config(), make_pisa_retina_train_step, False),
+        (tiny_pisa_rcnn_config(), make_pisa_rcnn_train_step, True),
         (tiny_fcos_config(), make_fcos_train_step, False),
         (tiny_fsaf_config(), make_fsaf_train_step, False),
         (tiny_autoassign_config(), make_autoassign_train_step, False),

@@ -188,3 +188,94 @@ def test_pisa_overfits_and_detects():
         m = valid[i] & (scores[i] > 0.2)
         assert m.any()
         assert lab[i][np.argmax(np.where(m, scores[i], -1))] == want
+
+
+def test_score_hlr_groups_and_weights():
+    """ScoreHLR negative selection: leaders claim overlapping boxes in
+    score order; weights decay with the two-step rank and renormalize
+    against the background-CE loss (score_hlr_sampler.py:101-213)."""
+    from aod_meh_hua_tpu.engine.pisa import _score_hlr_neg
+    from aod_meh_hua_tpu.utils.config import tiny_pisa_rcnn_config
+
+    cfg = tiny_pisa_rcnn_config()
+    c = cfg.num_classes
+    n = 12
+    # three clusters of near-identical boxes + some low-score boxes
+    base = np.array([[10, 10, 30, 30], [50, 10, 70, 30], [90, 10, 110, 30]],
+                    np.float32)
+    cands = np.concatenate([
+        np.repeat(base, 3, axis=0) + np.tile(
+            np.array([[0, 0, 0, 0], [1, 1, 1, 1], [2, 0, 2, 0]],
+                     np.float32), (3, 1)),
+        base + 200.0,
+    ]).astype(np.float32)
+    neg_mask = np.ones(n, bool)
+    cls = np.full((n, c + 1), -4.0, np.float32)
+    # scores: cluster members get distinct fg logits; last 3 stay invalid
+    fg = [3.0, 2.0, 1.0, 2.8, 1.8, 0.8, 2.6, 1.6, 0.6]
+    for i, s in enumerate(fg):
+        cls[i, 1] = s
+    deltas = np.zeros((n, c * 4), np.float32)
+
+    sel, w = _score_hlr_neg(
+        jax.random.PRNGKey(0), jnp.asarray(cands), jnp.asarray(neg_mask),
+        jnp.ones(n, bool), jnp.asarray(cls), jnp.asarray(deltas),
+        jnp.asarray(6), cfg)
+    sel = np.asarray(sel)
+    w = np.asarray(w)
+    # all 9 scored boxes are valid; exactly 6 highest-HLR selected
+    assert sel.sum() == 6
+    # the three cluster leaders (ranks 0 in-group) have the highest
+    # importance and must all be selected
+    assert sel[[0, 3, 6]].all()
+    # within the selected set, leader weight > follower weight
+    assert w[0] > w[1] or not sel[1]
+    # weights renormalize: weighted bg-CE == unweighted bg-CE over sel
+    probs = np.exp(cls - cls.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    ce = -np.log(probs[:, c])
+    np.testing.assert_allclose((ce * w)[sel].sum(), ce[sel].sum(), rtol=1e-4)
+
+
+def test_pisa_rcnn_trains():
+    from aod_meh_hua_tpu.api import init_detector
+    from aod_meh_hua_tpu.engine import Batch, create_train_state
+    from aod_meh_hua_tpu.engine.pisa import make_pisa_rcnn_train_step
+    from aod_meh_hua_tpu.ops import anchor_valid_flags
+    from aod_meh_hua_tpu.utils.config import (TrainConfig,
+                                              tiny_pisa_rcnn_config)
+
+    cfg = tiny_pisa_rcnn_config()
+    model, variables = init_detector(cfg, seed=0)
+    tcfg = TrainConfig(lr=0.02, batch_size=2, grad_clip=10.0)
+    state, tx = create_train_state(model, variables, tcfg, frozen_stages=0)
+    step = make_pisa_rcnn_train_step(model, cfg, tx)
+
+    h, w = cfg.canvas
+    g = cfg.max_gt
+    rng = np.random.RandomState(0)
+    images = np.full((2, h, w, 3), 0.1, np.float32)
+    boxes = np.zeros((2, g, 4), np.float32)
+    labels = np.zeros((2, g), np.int32)
+    images[0, 10:34, 20:44] = rng.randn(24, 24, 3).astype(np.float32) + 2.0
+    boxes[0, 0] = [20, 10, 44, 34]
+    labels[0, 0] = 2
+    images[1, 20:52, 60:92] = rng.randn(32, 32, 3).astype(np.float32) - 2.0
+    boxes[1, 0] = [60, 20, 92, 52]
+    labels[1, 0] = 4
+    gt_valid = np.zeros((2, g), bool)
+    gt_valid[:, 0] = True
+    shapes = np.tile([[h, w]], (2, 1)).astype(np.int32)
+    av = anchor_valid_flags(cfg.build_anchor_generator(), cfg.featmap_sizes(),
+                            shapes)
+    batch = Batch(images, boxes, labels, gt_valid, av, shapes)
+    state = jax.tree.map(jnp.array, state)
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state, aux = step(state, batch, k)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert float(aux["num_pos"]) > 0

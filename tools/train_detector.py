@@ -137,6 +137,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.guided_anchor import make_ga_train_step
 
         return make_ga_train_step(model, cfg, tx)
+    if family == "pisa_faster_rcnn":
+        from aod_meh_hua_tpu.engine.pisa import make_pisa_rcnn_train_step
+
+        return make_pisa_rcnn_train_step(model, cfg, tx)
     if family == "detr":
         from aod_meh_hua_tpu.engine.detr import make_detr_train_step
 
