@@ -100,13 +100,19 @@ class FasterRCNN(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
-        self.backbone = backbone_cls(
-            block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
-            stem_s2d=self.cfg.stem_s2d,
-            dcn=getattr(self.cfg, "backbone_dcn", None),
-            gcb_ratio=getattr(self.cfg, "backbone_gcb_ratio", None),
-            dtype=dtype, name="backbone")
+        if getattr(self.cfg, "backbone_type", "resnet") != "resnet":
+            from .backbones import build_backbone
+
+            self.backbone = build_backbone(self.cfg, dtype)
+        else:
+            backbone_cls = nn.remat(ResNet) if self.cfg.remat else ResNet
+            self.backbone = backbone_cls(
+                block_counts=self.cfg.block_counts,
+                stem_width=self.cfg.stem_width,
+                stem_s2d=self.cfg.stem_s2d,
+                dcn=getattr(self.cfg, "backbone_dcn", None),
+                gcb_ratio=getattr(self.cfg, "backbone_gcb_ratio", None),
+                dtype=dtype, name="backbone")
         if getattr(self.cfg, "neck_type", "fpn") == "pafpn":
             from .fpn import PAFPN
 

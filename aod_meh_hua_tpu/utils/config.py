@@ -359,6 +359,14 @@ class FasterRCNNConfig:
     # GCNet ContextBlock ratio (1/4 or 1/16) after conv3 in c3-c5
     # (reference configs/gcnet/mask_rcnn_r50_fpn_r{4,16}_gcb_c3-c5_*)
     backbone_gcb_ratio: Optional[float] = None
+    # resnet | resnext | res2net | regnet (models/backbones.py; the
+    # reference's configs/{resnext x101,res2net,regnet}/ variants)
+    backbone_type: str = "resnet"
+    resnext_groups: int = 32
+    resnext_base_width: int = 4
+    res2net_scales: int = 4
+    res2net_base_width: int = 26
+    regnet_arch: str = "regnetx_3.2gf"
     test: TestCfg = field(default_factory=lambda: TestCfg(
         nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100,
         pre_nms_cands=1000))
