@@ -57,6 +57,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "guided_anchor": init_ga_retinanet,
         "pisa_retinanet": init_free_anchor,  # plain retina model; PISA is loss
         "pisa_faster_rcnn": init_faster_rcnn,  # PISA lives in the train step
+        "nasfpn": init_free_anchor,  # plain retina model, cfg swaps the neck
+        "carafe": init_faster_rcnn,  # cfg.neck_type switches the neck
         "autoassign": init_autoassign,
         "atss": init_atss,
         "vfnet": init_vfnet,
@@ -125,6 +127,8 @@ def make_eval_step_for(model, cfg):
         "guided_anchor": make_ga_eval_step,
         "pisa_retinanet": make_free_anchor_eval_step,
         "pisa_faster_rcnn": make_faster_rcnn_eval_step,
+        "nasfpn": make_free_anchor_eval_step,
+        "carafe": make_faster_rcnn_eval_step,
         "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,
         "vfnet": make_vfnet_eval_step,

@@ -204,3 +204,166 @@ class PAFPN(nn.Module):
         for _ in range(self.num_outs - len(outs)):
             outs.append(outs[-1][:, ::2, ::2, :])  # F.max_pool2d(x, 1, 2)
         return tuple(outs)
+
+
+def _max_pool_to(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Integer-factor max-pool down to `size` (mmcv BaseMergeCell._resize
+    downsample branch: kernel = stride = in/out, per dim — max(1, .)
+    guards degenerate 1-cell levels in shrunken test configs)."""
+    kh = max(1, x.shape[1] // size[0])
+    kw = max(1, x.shape[2] // size[1])
+    return nn.max_pool(x, (kh, kw), strides=(kh, kw))
+
+
+class _MergeCell(nn.Module):
+    """mmcv merge_cells.py Sum/GlobalPooling cells: resize both inputs
+    to out_size (nearest up / integer max-pool down), binary-op, then
+    ReLU -> 3x3 conv (order ('act','conv','norm'), bias, no norm)."""
+
+    global_pool: bool = False
+    with_out_conv: bool = True
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, out_size):
+        if x1.shape[1:3] != tuple(out_size):
+            x1 = (nearest_resize(x1, out_size)
+                  if x1.shape[1] < out_size[0] else _max_pool_to(x1, out_size))
+        if x2.shape[1:3] != tuple(out_size):
+            x2 = (nearest_resize(x2, out_size)
+                  if x2.shape[1] < out_size[0] else _max_pool_to(x2, out_size))
+        if self.global_pool:
+            att = jax.nn.sigmoid(x2.mean(axis=(1, 2), keepdims=True))
+            y = x2 + att * x1
+        else:
+            y = x1 + x2
+        if self.with_out_conv:
+            y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="out_conv")(nn.relu(y))
+        return y
+
+
+class NASFPN(nn.Module):
+    """NAS-FPN (reference mmdet/models/necks/nas_fpn.py:10-160 +
+    configs/nas_fpn/retinanet_r50_nasfpn_crop640_50e_coco.py:
+    stack_times=7): 1x1 laterals for P3-P5, 1x1+maxpool extras for
+    P6/P7, then `stack_times` repetitions of the searched 7-cell merge
+    topology (gp_64_4, sum_44_4, sum_43_3, sum_34_4, gp_43_5+sum_55_5,
+    gp_54_7+sum_77_7, gp_75_6)."""
+
+    out_channels: int = 256
+    stack_times: int = 7
+    start_level: int = 1
+    num_outs: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]):
+        feats = []
+        for i, x in enumerate(inputs[self.start_level:]):
+            feats.append(nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                                 name=f"lateral_{i}")(x))
+        extra = self.num_outs - len(feats)
+        for i in range(extra):
+            y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name=f"extra_{i}")(feats[-1])
+            feats.append(nn.max_pool(y, (2, 2), strides=(2, 2),
+                                     padding="SAME"))
+        p3, p4, p5, p6, p7 = feats
+        sz = lambda p: p.shape[1:3]
+        for s in range(self.stack_times):
+            cell = lambda name, gp=False, oc=True: _MergeCell(
+                global_pool=gp, with_out_conv=oc,
+                out_channels=self.out_channels, dtype=self.dtype,
+                name=f"stage{s}_{name}")
+            p4_1 = cell("gp_64_4", gp=True)(p6, p4, sz(p4))
+            p4_2 = cell("sum_44_4")(p4_1, p4, sz(p4))
+            p3 = cell("sum_43_3")(p4_2, p3, sz(p3))
+            p4 = cell("sum_34_4")(p3, p4_2, sz(p4))
+            p5_tmp = cell("gp_43_5", gp=True, oc=False)(p4, p3, sz(p5))
+            p5 = cell("sum_55_5")(p5, p5_tmp, sz(p5))
+            p7_tmp = cell("gp_54_7", gp=True, oc=False)(p5, p4_2, sz(p7))
+            p7 = cell("sum_77_7")(p7, p7_tmp, sz(p7))
+            p6 = cell("gp_75_6", gp=True)(p7, p5, sz(p6))
+        return [p3, p4, p5, p6, p7]
+
+
+def carafe_upsample(x: jnp.ndarray, masks: jnp.ndarray, k_up: int,
+                    scale: int) -> jnp.ndarray:
+    """CARAFE reassembly (mmcv ops/carafe.py CUDA kernel re-derived):
+    each upsampled pixel is a k_up x k_up weighted sum of the source
+    neighborhood around its parent pixel.
+
+    x [B, H, W, C]; masks [B, H*scale, W*scale, k_up*k_up] softmaxed.
+    Returns [B, H*scale, W*scale, C]. Implemented as k_up^2 shifted
+    views of x, each broadcast to the fine grid and weighted — XLA
+    fuses the stack into the mask contraction, no gather tables."""
+    b, h, w, c = x.shape
+    r = k_up // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    out = None
+    for i in range(k_up):
+        for j in range(k_up):
+            src = xp[:, i:i + h, j:j + w]                    # [B,H,W,C]
+            fine = jnp.repeat(jnp.repeat(src, scale, 1), scale, 2)
+            wgt = masks[..., i * k_up + j][..., None]
+            out = fine * wgt if out is None else out + fine * wgt
+    return out
+
+
+class CARAFE(nn.Module):
+    """CARAFE upsampler (kernel prediction + reassembly; mmcv
+    ops/carafe.py, configs/carafe/*.py: c_mid 64, k_encoder 3,
+    k_up 5, scale 2)."""
+
+    c_mid: int = 64
+    k_encoder: int = 3
+    k_up: int = 5
+    scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        s, k = self.scale, self.k_up
+        y = nn.Conv(self.c_mid, (1, 1), dtype=self.dtype,
+                    name="channel_compressor")(x)
+        m = nn.Conv(k * k * s * s, (self.k_encoder, self.k_encoder),
+                    padding=((self.k_encoder // 2,) * 2,) * 2,
+                    dtype=jnp.float32, name="content_encoder")(y)
+        # pixel-shuffle [B,H,W,k^2*s^2] -> [B,H*s,W*s,k^2]
+        m = m.reshape(b, h, w, s, s, k * k)
+        m = m.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, k * k)
+        m = jax.nn.softmax(m, axis=-1)
+        return carafe_upsample(x.astype(jnp.float32), m, k, s
+                               ).astype(self.dtype)
+
+
+class FPNCARAFE(nn.Module):
+    """FPN whose top-down upsampling is CARAFE (reference
+    mmdet/models/necks/fpn_carafe.py + configs/carafe/
+    faster_rcnn_r50_fpn_carafe_1x_coco.py: start_level 0, num_outs 5,
+    the extra P6 from a stride-2 conv... the reference's upsample_cfg
+    replaces each interpolate; extra levels come from maxpool on the
+    last output as in the base faster-rcnn FPN)."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]):
+        lats = [nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name=f"lateral_{i}")(x)
+                for i, x in enumerate(inputs)]
+        for i in range(len(lats) - 1, 0, -1):
+            up = CARAFE(dtype=self.dtype, name=f"carafe_{i}")(lats[i])
+            lats[i - 1] = lats[i - 1] + up[:, :lats[i - 1].shape[1],
+                                           :lats[i - 1].shape[2]]
+        outs = [nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name=f"fpn_conv_{i}")(l)
+                for i, l in enumerate(lats)]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return outs

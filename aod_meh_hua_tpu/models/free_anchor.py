@@ -73,9 +73,18 @@ class FreeAnchorNet(nn.Module):
         self.backbone = backbone_cls(
             block_counts=self.cfg.block_counts, stem_width=self.cfg.stem_width,
             stem_s2d=self.cfg.stem_s2d, dtype=dtype, name="backbone")
-        self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=1,
-                        num_outs=len(self.cfg.strides),
-                        add_extra_convs="on_input", dtype=dtype, name="neck")
+        if getattr(self.cfg, "neck_type", "fpn") == "nasfpn":
+            from .fpn import NASFPN
+
+            self.neck = NASFPN(out_channels=self.cfg.fpn_channels,
+                               stack_times=self.cfg.nasfpn_stack_times,
+                               start_level=1,
+                               num_outs=len(self.cfg.strides),
+                               dtype=dtype, name="neck")
+        else:
+            self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=1,
+                            num_outs=len(self.cfg.strides),
+                            add_extra_convs="on_input", dtype=dtype, name="neck")
         self.head = RetinaHeadPlain(num_classes=self.cfg.num_classes,
                                     num_anchors=self.cfg.num_anchors,
                                     feat_channels=self.cfg.feat_channels,

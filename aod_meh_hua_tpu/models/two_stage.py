@@ -120,6 +120,12 @@ class FasterRCNN(nn.Module):
                               start_level=0,
                               num_outs=len(self.cfg.rpn.anchor_strides),
                               dtype=dtype, name="neck")
+        elif getattr(self.cfg, "neck_type", "fpn") == "carafe_fpn":
+            from .fpn import FPNCARAFE
+
+            self.neck = FPNCARAFE(out_channels=self.cfg.fpn_channels,
+                                  num_outs=len(self.cfg.rpn.anchor_strides),
+                                  dtype=dtype, name="neck")
         else:
             self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
                             num_outs=len(self.cfg.rpn.anchor_strides),

@@ -605,6 +605,9 @@ class FreeAnchorConfig:
     smooth_l1_beta: float = 0.11
     bbox_loss_weight: float = 0.75
     max_gt: int = 64
+    # fpn | nasfpn (models/fpn.py NASFPN, configs/nas_fpn/)
+    neck_type: str = "fpn"
+    nasfpn_stack_times: int = 7
     img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
     img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
     img_to_rgb: bool = True
@@ -685,6 +688,30 @@ class GHMConfig(FreeAnchorConfig):
     ghmr_weight: float = 10.0
 
     family = "ghm"
+
+
+@dataclass(frozen=True)
+class NASFPNRetinaNetConfig(FreeAnchorConfig):
+    """RetinaNet + NAS-FPN (reference configs/nas_fpn/retinanet_r50_
+    nasfpn_crop640_50e_coco.py): the plain retina head/targets trained
+    with focal + L1 (engine/retina_zoo.py), the searched merge-cell
+    pyramid as the neck (stack_times 7)."""
+
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    neck_type: str = "nasfpn"
+
+    family = "nasfpn"
+
+
+@dataclass(frozen=True)
+class CARAFEFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with CARAFE top-down upsampling (reference
+    configs/carafe/faster_rcnn_r50_fpn_carafe_1x_coco.py +
+    mmdet/models/necks/fpn_carafe.py + the mmcv CARAFE op)."""
+
+    neck_type: str = "carafe_fpn"
+
+    family = "carafe"
 
 
 @dataclass(frozen=True)
@@ -2315,6 +2342,43 @@ def tiny_ghm_config(**overrides) -> GHMConfig:
     return GHMConfig(**base)
 
 
+def tiny_nasfpn_config(**overrides) -> NASFPNRetinaNetConfig:
+    """A shrunken NAS-FPN RetinaNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        nasfpn_stack_times=2,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return NASFPNRetinaNetConfig(**base)
+
+
+def tiny_carafe_config(**overrides) -> CARAFEFasterRCNNConfig:
+    """A shrunken CARAFE Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return CARAFEFasterRCNNConfig(**base)
+
+
 def tiny_pisa_rcnn_config(**overrides) -> PISAFasterRCNNConfig:
     """A shrunken PISA Faster R-CNN for fast CPU unit tests."""
     base = dict(
@@ -2661,6 +2725,8 @@ ZOO_FAMILIES = {
     "guided_anchor": (GARetinaNetConfig, tiny_ga_config),
     "pisa_retinanet": (PISARetinaNetConfig, tiny_pisa_config),
     "pisa_faster_rcnn": (PISAFasterRCNNConfig, tiny_pisa_rcnn_config),
+    "nasfpn": (NASFPNRetinaNetConfig, tiny_nasfpn_config),
+    "carafe": (CARAFEFasterRCNNConfig, tiny_carafe_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),
     "atss": (ATSSConfig, tiny_atss_config),

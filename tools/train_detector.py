@@ -98,7 +98,7 @@ def build(family, mini, dtype):
 
 def make_steps(family, model, cfg, tx):
     """Uniform step(state, batch, key) signature across families."""
-    if family in ("faster_rcnn", "libra_rcnn", "pafpn"):
+    if family in ("faster_rcnn", "libra_rcnn", "pafpn", "carafe"):
         from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
 
         return make_faster_rcnn_train_step(model, cfg, tx)
@@ -207,6 +207,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.pisa import make_pisa_retina_train_step
 
         inner = make_pisa_retina_train_step(model, cfg, tx)
+    elif family == "nasfpn":
+        from aod_meh_hua_tpu.engine.retina_zoo import \
+            make_vanilla_retina_train_step
+
+        inner = make_vanilla_retina_train_step(model, cfg, tx)
     elif family == "autoassign":
         from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
 
