@@ -691,6 +691,26 @@ class GHMConfig(FreeAnchorConfig):
 
 
 @dataclass(frozen=True)
+class GridRCNNConfig(FasterRCNNConfig):
+    """Grid R-CNN (reference configs/grid_rcnn/grid_rcnn_r50_fpn_
+    gn-head_2x_coco.py + roi_heads/grid_roi_head.py + mask_heads/
+    grid_head.py): cls-only RoI head; box geometry from a 9-point grid
+    heatmap head (8 GN convs at 576ch, neighbor fusion, grouped
+    deconvs to 28x28 sub-region maps) trained on jittered positives and
+    decoded by boundary voting. RPN bbox loss here is plain L1 (the
+    reference's SmoothL1 beta 1/9 — equal above |x| = 1/9)."""
+
+    grid_points: int = 9
+    grid_convs: int = 8
+    grid_point_channels: int = 64
+    grid_roi_size: int = 14
+    grid_pos_radius: int = 1
+    grid_loss_weight: float = 15.0
+
+    family = "grid_rcnn"
+
+
+@dataclass(frozen=True)
 class NASFPNRetinaNetConfig(FreeAnchorConfig):
     """RetinaNet + NAS-FPN (reference configs/nas_fpn/retinanet_r50_
     nasfpn_crop640_50e_coco.py): the plain retina head/targets trained
@@ -2342,6 +2362,26 @@ def tiny_ghm_config(**overrides) -> GHMConfig:
     return GHMConfig(**base)
 
 
+def tiny_grid_rcnn_config(**overrides) -> GridRCNNConfig:
+    """A shrunken Grid R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        grid_point_channels=8,  # conv_out 72, still divisible by GN 36
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return GridRCNNConfig(**base)
+
+
 def tiny_nasfpn_config(**overrides) -> NASFPNRetinaNetConfig:
     """A shrunken NAS-FPN RetinaNet for fast CPU unit tests."""
     base = dict(
@@ -2726,6 +2766,7 @@ ZOO_FAMILIES = {
     "pisa_retinanet": (PISARetinaNetConfig, tiny_pisa_config),
     "pisa_faster_rcnn": (PISAFasterRCNNConfig, tiny_pisa_rcnn_config),
     "nasfpn": (NASFPNRetinaNetConfig, tiny_nasfpn_config),
+    "grid_rcnn": (GridRCNNConfig, tiny_grid_rcnn_config),
     "carafe": (CARAFEFasterRCNNConfig, tiny_carafe_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),
