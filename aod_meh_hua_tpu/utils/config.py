@@ -841,6 +841,31 @@ class GARetinaNetConfig(FreeAnchorConfig):
 
 
 @dataclass(frozen=True)
+class SABLRetinaNetConfig(GARetinaNetConfig):
+    """SABL RetinaNet (reference configs/sabl/sabl_retinanet_r50_fpn_
+    1x_coco.py + dense_heads/sabl_retina_head.py + core/bbox/coder/
+    bucketing_bbox_coder.py): GA-style square/approx anchor duality,
+    but boundaries localize by per-side bucket classification (14
+    buckets at 3x proposal scale) + fine within-bucket offsets, with
+    bucketing-guided rescoring at eval (engine/sabl.py)."""
+
+    num_buckets: int = 14
+    bucket_scale_factor: float = 3.0
+    offset_topk: int = 2
+    offset_upperbound: float = 1.0
+    bucket_cls_weight: float = 1.5
+    bucket_reg_weight: float = 1.5
+    bucket_reg_beta: float = 1.0 / 9.0
+    ga_min_pos_iou: float = 0.0  # sabl assigner min_pos_iou 0
+
+    family = "sabl"
+
+    @property
+    def side_num(self) -> int:
+        return (self.num_buckets + 1) // 2
+
+
+@dataclass(frozen=True)
 class FCOSConfig:
     """FCOS R50-FPN, VOC classes (the upstream anchor-free family the
     reference keeps registered; configs/fcos/*_r50_caffe_fpn_gn-head)."""
@@ -2362,6 +2387,23 @@ def tiny_ghm_config(**overrides) -> GHMConfig:
     return GHMConfig(**base)
 
 
+def tiny_sabl_config(**overrides) -> SABLRetinaNetConfig:
+    """A shrunken SABL RetinaNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return SABLRetinaNetConfig(**base)
+
+
 def tiny_grid_rcnn_config(**overrides) -> GridRCNNConfig:
     """A shrunken Grid R-CNN for fast CPU unit tests."""
     base = dict(
@@ -2767,6 +2809,7 @@ ZOO_FAMILIES = {
     "pisa_faster_rcnn": (PISAFasterRCNNConfig, tiny_pisa_rcnn_config),
     "nasfpn": (NASFPNRetinaNetConfig, tiny_nasfpn_config),
     "grid_rcnn": (GridRCNNConfig, tiny_grid_rcnn_config),
+    "sabl": (SABLRetinaNetConfig, tiny_sabl_config),
     "carafe": (CARAFEFasterRCNNConfig, tiny_carafe_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),

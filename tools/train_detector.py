@@ -216,6 +216,10 @@ def make_steps(family, model, cfg, tx):
             make_vanilla_retina_train_step
 
         inner = make_vanilla_retina_train_step(model, cfg, tx)
+    elif family == "sabl":
+        from aod_meh_hua_tpu.engine.sabl import make_sabl_train_step
+
+        inner = make_sabl_train_step(model, cfg, tx)
     elif family == "autoassign":
         from aod_meh_hua_tpu.engine.autoassign import make_autoassign_train_step
 
