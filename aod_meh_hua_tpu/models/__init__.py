@@ -21,6 +21,7 @@ from .free_anchor import (FreeAnchorNet, RetinaHeadPlain, build_free_anchor,
 from .guided_anchor import (GARetinaNet, build_ga_retinanet,
                             init_ga_retinanet)
 from .grid_rcnn import GridRCNN, build_grid_rcnn, init_grid_rcnn
+from .htc import HTC, build_htc, init_htc
 from .sabl import SABLRetinaNet, build_sabl_retinanet, init_sabl_retinanet
 from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf
 from .vfnet import VFNet, VFNetHead, build_vfnet, init_vfnet

@@ -438,6 +438,26 @@ class CascadeRCNNConfig(FasterRCNNConfig):
 
 
 @dataclass(frozen=True)
+class HTCConfig(CascadeRCNNConfig):
+    """Hybrid Task Cascade (reference configs/htc/htc_r50_fpn_1x_coco.py
+    + roi_heads/htc_roi_head.py): the cascade trunk with per-stage mask
+    heads (info flow through conv_res), a fused semantic branch at
+    stride 8 (CE weight .2) added to both bbox and mask RoI features,
+    and interleaved mask training on the refined, re-sampled boxes."""
+
+    mask_roi_size: int = 14
+    mask_size: int = 28
+    mask_convs: int = 4
+    mask_channels: int = 256
+    gt_mask_raster: int = 56
+    seg_classes: int = 183
+    seg_ignore: int = 255
+    seg_loss_weight: float = 0.2
+
+    family = "htc"
+
+
+@dataclass(frozen=True)
 class MaskRCNNConfig(FasterRCNNConfig):
     """Mask R-CNN R50-FPN (reference
     configs/_base_/models/mask_rcnn_r50_fpn.py): the Faster R-CNN trunk
@@ -2692,6 +2712,31 @@ def tiny_deformable_detr_config(**overrides) -> DeformableDETRConfig:
     return DeformableDETRConfig(**base)
 
 
+def tiny_htc_config(**overrides) -> HTCConfig:
+    """A shrunken HTC for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        mask_convs=2,
+        mask_channels=8,
+        mask_size=14,
+        mask_roi_size=7,
+        gt_mask_raster=28,
+        seg_classes=7,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return HTCConfig(**base)
+
+
 def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:
     """A shrunken Cascade R-CNN for fast CPU unit tests."""
     base = dict(
@@ -2810,6 +2855,7 @@ ZOO_FAMILIES = {
     "nasfpn": (NASFPNRetinaNetConfig, tiny_nasfpn_config),
     "grid_rcnn": (GridRCNNConfig, tiny_grid_rcnn_config),
     "sabl": (SABLRetinaNetConfig, tiny_sabl_config),
+    "htc": (HTCConfig, tiny_htc_config),
     "carafe": (CARAFEFasterRCNNConfig, tiny_carafe_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),

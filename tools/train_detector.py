@@ -145,6 +145,10 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.grid_rcnn import make_grid_rcnn_train_step
 
         return make_grid_rcnn_train_step(model, cfg, tx)
+    if family == "htc":
+        from aod_meh_hua_tpu.engine.htc import make_htc_train_step
+
+        return make_htc_train_step(model, cfg, tx)
     if family == "detr":
         from aod_meh_hua_tpu.engine.detr import make_detr_train_step
 
