@@ -38,6 +38,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
                          init_foveabox,
                          init_fast_rcnn, init_ga_retinanet, init_grid_rcnn,
                          init_htc, init_mask_rcnn, init_sabl_retinanet,
+                         init_yolact,
                          init_mask_scoring_rcnn, init_reppoints,
                          init_rpn_only, init_sparse_rcnn,
                          init_vfnet, init_yolof, init_yolov3)
@@ -62,6 +63,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "grid_rcnn": init_grid_rcnn,
         "sabl": init_sabl_retinanet,
         "htc": init_htc,
+        "yolact": init_yolact,
         "carafe": init_faster_rcnn,  # cfg.neck_type switches the neck
         "autoassign": init_autoassign,
         "atss": init_atss,
@@ -105,6 +107,7 @@ def make_eval_step_for(model, cfg):
     from .engine.grid_rcnn import make_grid_rcnn_eval_step
     from .engine.sabl import make_sabl_eval_step
     from .engine.htc import make_htc_eval_step
+    from .engine.yolact import make_yolact_eval_step
     from .engine.autoassign import make_autoassign_eval_step
     from .engine.fsaf import make_fsaf_eval_step
     from .engine.vfnet import make_vfnet_eval_step
@@ -138,6 +141,7 @@ def make_eval_step_for(model, cfg):
         "grid_rcnn": make_grid_rcnn_eval_step,
         "sabl": make_sabl_eval_step,
         "htc": make_htc_eval_step,
+        "yolact": make_yolact_eval_step,
         "carafe": make_faster_rcnn_eval_step,
         "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,

@@ -23,6 +23,7 @@ from .guided_anchor import (GARetinaNet, build_ga_retinanet,
 from .grid_rcnn import GridRCNN, build_grid_rcnn, init_grid_rcnn
 from .htc import HTC, build_htc, init_htc
 from .sabl import SABLRetinaNet, build_sabl_retinanet, init_sabl_retinanet
+from .yolact import YOLACT, build_yolact, init_yolact
 from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf
 from .vfnet import VFNet, VFNetHead, build_vfnet, init_vfnet
 from .atss import ATSS, ATSSHead, build_atss, init_atss

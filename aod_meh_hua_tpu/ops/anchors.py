@@ -108,6 +108,9 @@ class AnchorGenerator:
     # explicit scale list (YOLOF-style `scales=[1, 2, 4, 8, 16]`);
     # None derives the octave schedule (RetinaNet family)
     scales: Optional[Sequence[float]] = None
+    # explicit per-level base sizes (YOLACT's base_sizes=[8..128] with
+    # strides that differ from them); None = the stride (mmdet default)
+    base_sizes: Optional[Sequence[int]] = None
 
     def __post_init__(self):
         self.strides = [(s, s) if isinstance(s, int) else tuple(s) for s in self.strides]
@@ -120,9 +123,12 @@ class AnchorGenerator:
             )
         self._ratios = np.asarray(self.ratios, dtype=np.float32)
         self.base_anchors: List[np.ndarray] = []
-        for (sw, sh) in self.strides:
-            base_size = min(sw, sh)
-            center = (self.center_offset * base_size, self.center_offset * base_size)
+        for li, (sw, sh) in enumerate(self.strides):
+            base_size = (min(sw, sh) if self.base_sizes is None
+                         else self.base_sizes[li])
+            stride_ref = min(sw, sh)  # centers anchor at offset * STRIDE
+            center = (self.center_offset * stride_ref,
+                      self.center_offset * stride_ref)
             self.base_anchors.append(
                 _base_anchors(base_size, self.scales, self._ratios, center, self.scale_major)
             )

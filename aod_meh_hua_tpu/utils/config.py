@@ -711,6 +711,92 @@ class GHMConfig(FreeAnchorConfig):
 
 
 @dataclass(frozen=True)
+class YOLACTConfig:
+    """YOLACT (reference configs/yolact/yolact_r50_1x8_coco.py +
+    mmdet/models/dense_heads/yolact_head.py): SSD-style OHEM anchor
+    head with a tanh mask-coefficient branch, a P3 protonet (32
+    prototypes at stride 4), instance masks = sigmoid(protos @ coeffs)
+    cropped by boxes, and an auxiliary per-class semantic BCE at P3.
+    The 550-pixel geometry is replaced by a /32-divisible canvas."""
+
+    num_classes: int = 20
+    canvas: Tuple[int, int] = (544, 544)
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
+    stem_width: int = 64
+    frozen_stages: int = 0  # yolact does not freeze the stem
+    fpn_channels: int = 256
+    feat_channels: int = 256
+    num_head_convs: int = 1
+    num_protos: int = 32
+    proto_channels: int = 256
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    base_sizes: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    anchor_scale: float = 3.0
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    neg_pos_ratio: int = 3
+    bbox_loss_weight: float = 1.5
+    mask_loss_weight: float = 6.125
+    max_masks_train: int = 100
+    gt_mask_raster: int = 56
+    max_gt: int = 64
+    img_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    img_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    img_to_rgb: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    stem_s2d: bool = False
+    test: TestCfg = field(default_factory=lambda: TestCfg(
+        nms_pre=1000, score_thr=0.05, nms_iou_thr=0.5, max_per_img=100))
+
+    family = "yolact"
+
+    @property
+    def num_fg_classes(self) -> int:
+        return self.num_classes
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.ratios)
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(
+            strides=self.strides, ratios=self.ratios,
+            scales=(self.anchor_scale,), base_sizes=self.base_sizes,
+            octave_base_scale=int(self.anchor_scale), scales_per_octave=1,
+            center_offset=0.5,
+        )
+
+    def for_orientation(self, orientation: str) -> "YOLACTConfig":
+        h, w = self.canvas
+        land = (max(h, w) == w)
+        if (orientation == "landscape") == land:
+            return self
+        return dataclasses.replace(self, canvas=(w, h))
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        sizes = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
+        for _ in range(len(self.strides) - 3):
+            ph, pw = sizes[-1]
+            sizes.append(((ph + 1) // 2, (pw + 1) // 2))
+        return sizes
+
+    def level_bounds(self):
+        a = self.num_anchors
+        bounds, off = [], 0
+        for (h, w) in self.featmap_sizes():
+            n = h * w * a
+            bounds.append((off, off + n))
+            off += n
+        return bounds
+
+
+@dataclass(frozen=True)
 class GridRCNNConfig(FasterRCNNConfig):
     """Grid R-CNN (reference configs/grid_rcnn/grid_rcnn_r50_fpn_
     gn-head_2x_coco.py + roi_heads/grid_roi_head.py + mask_heads/
@@ -2712,6 +2798,26 @@ def tiny_deformable_detr_config(**overrides) -> DeformableDETRConfig:
     return DeformableDETRConfig(**base)
 
 
+def tiny_yolact_config(**overrides) -> YOLACTConfig:
+    """A shrunken YOLACT for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        feat_channels=16,
+        num_protos=8,
+        proto_channels=8,
+        num_classes=6,
+        max_gt=8,
+        max_masks_train=16,
+        gt_mask_raster=28,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return YOLACTConfig(**base)
+
+
 def tiny_htc_config(**overrides) -> HTCConfig:
     """A shrunken HTC for fast CPU unit tests."""
     base = dict(
@@ -2856,6 +2962,7 @@ ZOO_FAMILIES = {
     "grid_rcnn": (GridRCNNConfig, tiny_grid_rcnn_config),
     "sabl": (SABLRetinaNetConfig, tiny_sabl_config),
     "htc": (HTCConfig, tiny_htc_config),
+    "yolact": (YOLACTConfig, tiny_yolact_config),
     "carafe": (CARAFEFasterRCNNConfig, tiny_carafe_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
     "autoassign": (AutoAssignConfig, tiny_autoassign_config),

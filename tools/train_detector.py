@@ -149,6 +149,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.htc import make_htc_train_step
 
         return make_htc_train_step(model, cfg, tx)
+    if family == "yolact":
+        from aod_meh_hua_tpu.engine.yolact import make_yolact_train_step
+
+        inner = make_yolact_train_step(model, cfg, tx)
+        return lambda state, batch, key: inner(state, batch)
     if family == "detr":
         from aod_meh_hua_tpu.engine.detr import make_detr_train_step
 
