@@ -39,7 +39,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
                          init_fast_rcnn, init_ga_retinanet, init_grid_rcnn,
                          init_htc, init_mask_rcnn, init_sabl_retinanet,
                          init_yolact,
-                         init_mask_scoring_rcnn, init_reppoints,
+                         init_mask_scoring_rcnn, init_point_rend,
+                         init_reppoints,
                          init_rpn_only, init_sparse_rcnn,
                          init_vfnet, init_yolof, init_yolov3)
 
@@ -81,6 +82,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "deformable_detr": init_deformable_detr,
         "mask_rcnn": init_mask_rcnn,
         "mask_scoring_rcnn": init_mask_scoring_rcnn,
+        "point_rend": init_point_rend,
         "rpn": init_rpn_only,
         "fast_rcnn": init_fast_rcnn,
     }[_family(cfg)]
@@ -118,6 +120,7 @@ def make_eval_step_for(model, cfg):
     from .engine.deformable_detr import make_deformable_detr_eval_step
     from .engine.mask_rcnn import make_mask_rcnn_eval_step
     from .engine.mask_scoring_rcnn import make_ms_rcnn_eval_step
+    from .engine.point_rend import make_point_rend_eval_step
     from .engine.reppoints import make_reppoints_eval_step
     from .engine.rpn_only import make_rpn_eval_step
 
@@ -159,6 +162,7 @@ def make_eval_step_for(model, cfg):
         "deformable_detr": make_deformable_detr_eval_step,
         "mask_rcnn": make_mask_rcnn_eval_step,
         "mask_scoring_rcnn": make_ms_rcnn_eval_step,
+        "point_rend": make_point_rend_eval_step,
         "rpn": make_rpn_eval_step,
     }
     if _family(cfg) == "fast_rcnn":

@@ -35,6 +35,8 @@ from .cornernet import CornerNet, init_cornernet
 from .deformable_detr import (DeformableDETR, build_deformable_detr,
                               init_deformable_detr)
 from .mask_rcnn import MaskRCNN, build_mask_rcnn, init_mask_rcnn
+from .point_rend import (CoarseMaskHead, MaskPointHead, PointRend,
+                         build_point_rend, init_point_rend)
 from .mask_scoring_rcnn import (MaskIoUHead, MaskScoringRCNN,
                                 build_mask_scoring_rcnn,
                                 init_mask_scoring_rcnn)

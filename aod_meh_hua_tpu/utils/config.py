@@ -477,6 +477,38 @@ class MaskRCNNConfig(FasterRCNNConfig):
 
 
 @dataclass(frozen=True)
+class PointRendConfig(MaskRCNNConfig):
+    """PointRend (reference configs/point_rend/point_rend_r50_caffe_
+    fpn_mstrain_1x_coco.py + roi_heads/point_rend_roi_head.py +
+    mask_heads/{coarse_mask_head,mask_point_head}.py): the Mask R-CNN
+    trunk where the FCN mask head is replaced by a 7x7 CoarseMaskHead
+    (SimpleRoIAlign 14 on the stride-4 level, downsample conv + 2 FCs)
+    plus a point head (3-layer point MLP) trained on uncertainty-
+    importance-sampled points and applied at eval through iterative
+    subdivision refinement of the coarse mask."""
+
+    mask_roi_size: int = 14   # SimpleRoIAlign output on the P2 level
+    mask_size: int = 7        # coarse head output (14 // downsample 2)
+    coarse_fcs: int = 2
+    coarse_fc_channels: int = 1024
+    coarse_channels: int = 256
+    point_fcs: int = 3
+    point_fc_channels: int = 256
+    # train_cfg.rcnn (point_rend config): num_points 14*14,
+    # oversample 3, importance 0.75
+    num_points: int = 196
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
+    # test_cfg.rcnn: 5 subdivision steps of x2 from 7 -> 224,
+    # 28*28 refined points per step
+    subdivision_steps: int = 5
+    subdivision_num_points: int = 784
+    subdivision_scale: int = 2
+
+    family = "point_rend"
+
+
+@dataclass(frozen=True)
 class MaskScoringRCNNConfig(MaskRCNNConfig):
     """Mask Scoring R-CNN (reference
     configs/ms_rcnn/ms_rcnn_r50_fpn_1x_coco.py +
@@ -2325,6 +2357,36 @@ def tiny_mask_rcnn_config(**overrides) -> MaskRCNNConfig:
     return MaskRCNNConfig(**base)
 
 
+def tiny_point_rend_config(**overrides) -> PointRendConfig:
+    """A shrunken PointRend for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        mask_roi_size=14,
+        mask_size=7,
+        coarse_fcs=2,
+        coarse_fc_channels=64,
+        coarse_channels=8,
+        point_fcs=3,
+        point_fc_channels=16,
+        num_points=32,
+        subdivision_steps=2,
+        subdivision_num_points=64,
+        gt_mask_raster=28,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return PointRendConfig(**base)
+
+
 def tiny_mask_scoring_config(**overrides) -> MaskScoringRCNNConfig:
     """A shrunken Mask Scoring R-CNN for fast CPU unit tests."""
     base = dict(
@@ -2950,6 +3012,7 @@ ZOO_FAMILIES = {
     "cascade_rcnn": (CascadeRCNNConfig, tiny_cascade_config),
     "mask_rcnn": (MaskRCNNConfig, tiny_mask_rcnn_config),
     "mask_scoring_rcnn": (MaskScoringRCNNConfig, tiny_mask_scoring_config),
+    "point_rend": (PointRendConfig, tiny_point_rend_config),
     "rpn": (RPNOnlyConfig, tiny_rpn_config),
     "fast_rcnn": (FastRCNNConfig, tiny_fast_rcnn_config),
     "fcos": (FCOSConfig, tiny_fcos_config),

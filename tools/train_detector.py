@@ -116,6 +116,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.mask_rcnn import make_mask_rcnn_train_step
 
         return make_mask_rcnn_train_step(model, cfg, tx)
+    if family == "point_rend":
+        from aod_meh_hua_tpu.engine.point_rend import \
+            make_point_rend_train_step
+
+        return make_point_rend_train_step(model, cfg, tx)
     if family == "mask_scoring_rcnn":
         from aod_meh_hua_tpu.engine.mask_scoring_rcnn import \
             make_ms_rcnn_train_step
@@ -416,7 +421,9 @@ def main():
     loader = TrainLoader(train_set, np.arange(len(train_set)), cfg, pipe,
                          batch_size=args.batch_size, seed=args.seed,
                          with_masks=(args.family in ("mask_rcnn",
-                                                     "mask_scoring_rcnn")),
+                                                     "mask_scoring_rcnn",
+                                                     "yolact",
+                                                     "point_rend")),
                          proposal_source=proposal_source)
     eval_steps = {}
     key = jax.random.PRNGKey(args.seed)
