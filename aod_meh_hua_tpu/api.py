@@ -32,16 +32,19 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
     collapsed to a config-type dispatch."""
     from .models import (init_atss, init_autoassign, init_cascade_rcnn,
                          init_centernet, init_double_head_rcnn,
+                         init_centripetalnet,
                          init_cornernet, init_deformable_detr, init_detr,
                          init_faster_rcnn, init_fcos, init_free_anchor,
                          init_fsaf, init_gfl,
                          init_foveabox,
                          init_fast_rcnn, init_ga_retinanet, init_grid_rcnn,
                          init_htc, init_mask_rcnn, init_sabl_retinanet,
+                         init_scnet,
                          init_yolact,
                          init_mask_scoring_rcnn, init_point_rend,
                          init_reppoints,
                          init_rpn_only, init_sparse_rcnn,
+                         init_cascade_rpn, init_trident, init_detectors_rs,
                          init_vfnet, init_yolof, init_yolov3)
 
     init_fn = {
@@ -64,12 +67,14 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "grid_rcnn": init_grid_rcnn,
         "sabl": init_sabl_retinanet,
         "htc": init_htc,
+        "scnet": init_scnet,
         "yolact": init_yolact,
         "carafe": init_faster_rcnn,  # cfg.neck_type switches the neck
         "autoassign": init_autoassign,
         "atss": init_atss,
         "vfnet": init_vfnet,
         "gfl": init_gfl,
+        "ld": init_gfl,  # the LD student IS a GFL model
         "yolov3": init_yolov3,
         "detr": init_detr,
         "centernet": init_centernet,
@@ -78,12 +83,18 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "foveabox": init_foveabox,
         "paa": init_atss,  # PAA reuses the ATSS model; engine differs
         "cornernet": init_cornernet,
+        "centripetalnet": init_centripetalnet,
         "reppoints": init_reppoints,
         "deformable_detr": init_deformable_detr,
         "mask_rcnn": init_mask_rcnn,
         "mask_scoring_rcnn": init_mask_scoring_rcnn,
         "point_rend": init_point_rend,
         "rpn": init_rpn_only,
+        "cascade_rpn": init_cascade_rpn,
+        "tridentnet": init_trident,
+        "detectors": init_detectors_rs,
+        "hrnet": init_faster_rcnn,  # cfg swaps backbone/neck
+        "resnest": init_faster_rcnn,  # cfg swaps the backbone
         "fast_rcnn": init_fast_rcnn,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
@@ -109,6 +120,7 @@ def make_eval_step_for(model, cfg):
     from .engine.grid_rcnn import make_grid_rcnn_eval_step
     from .engine.sabl import make_sabl_eval_step
     from .engine.htc import make_htc_eval_step
+    from .engine.scnet import make_scnet_eval_step
     from .engine.yolact import make_yolact_eval_step
     from .engine.autoassign import make_autoassign_eval_step
     from .engine.fsaf import make_fsaf_eval_step
@@ -117,12 +129,15 @@ def make_eval_step_for(model, cfg):
                                    make_double_head_eval_step,
                                    make_faster_rcnn_eval_step)
     from .engine.cornernet import make_cornernet_eval_step
+    from .engine.centripetal import make_centripetal_eval_step
     from .engine.deformable_detr import make_deformable_detr_eval_step
     from .engine.mask_rcnn import make_mask_rcnn_eval_step
     from .engine.mask_scoring_rcnn import make_ms_rcnn_eval_step
     from .engine.point_rend import make_point_rend_eval_step
     from .engine.reppoints import make_reppoints_eval_step
     from .engine.rpn_only import make_rpn_eval_step
+    from .engine.cascade_rpn import make_crpn_eval_step
+    from .engine.trident import make_trident_eval_step
 
     fn = {
         "retinanet": make_eval_step,
@@ -144,12 +159,14 @@ def make_eval_step_for(model, cfg):
         "grid_rcnn": make_grid_rcnn_eval_step,
         "sabl": make_sabl_eval_step,
         "htc": make_htc_eval_step,
+        "scnet": make_scnet_eval_step,
         "yolact": make_yolact_eval_step,
         "carafe": make_faster_rcnn_eval_step,
         "autoassign": make_autoassign_eval_step,
         "atss": make_atss_eval_step,
         "vfnet": make_vfnet_eval_step,
         "gfl": make_gfl_eval_step,
+        "ld": make_gfl_eval_step,
         "yolov3": make_yolo_eval_step,
         "detr": make_detr_eval_step,
         "centernet": make_centernet_eval_step,
@@ -158,12 +175,18 @@ def make_eval_step_for(model, cfg):
         "foveabox": make_fovea_eval_step,
         "paa": make_paa_eval_step,
         "cornernet": make_cornernet_eval_step,
+        "centripetalnet": make_centripetal_eval_step,
         "reppoints": make_reppoints_eval_step,
         "deformable_detr": make_deformable_detr_eval_step,
         "mask_rcnn": make_mask_rcnn_eval_step,
         "mask_scoring_rcnn": make_ms_rcnn_eval_step,
         "point_rend": make_point_rend_eval_step,
         "rpn": make_rpn_eval_step,
+        "cascade_rpn": make_crpn_eval_step,
+        "tridentnet": make_trident_eval_step,
+        "detectors": make_cascade_eval_step,
+        "hrnet": make_faster_rcnn_eval_step,
+        "resnest": make_faster_rcnn_eval_step,
     }
     if _family(cfg) == "fast_rcnn":
         raise ValueError(

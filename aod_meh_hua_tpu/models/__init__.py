@@ -22,6 +22,7 @@ from .guided_anchor import (GARetinaNet, build_ga_retinanet,
                             init_ga_retinanet)
 from .grid_rcnn import GridRCNN, build_grid_rcnn, init_grid_rcnn
 from .htc import HTC, build_htc, init_htc
+from .scnet import SCNet, build_scnet, init_scnet
 from .sabl import SABLRetinaNet, build_sabl_retinanet, init_sabl_retinanet
 from .yolact import YOLACT, build_yolact, init_yolact
 from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf
@@ -32,6 +33,7 @@ from .yolo import YOLOV3, Darknet53, YOLOV3Neck, YOLOV3Head, build_yolov3, init_
 from .detr import DETR, build_detr, init_detr, sine_positional_encoding
 from .centernet import CenterNet, build_centernet, init_centernet
 from .cornernet import CornerNet, init_cornernet
+from .centripetal import CentripetalNet, init_centripetalnet
 from .deformable_detr import (DeformableDETR, build_deformable_detr,
                               init_deformable_detr)
 from .mask_rcnn import MaskRCNN, build_mask_rcnn, init_mask_rcnn
@@ -42,6 +44,11 @@ from .mask_scoring_rcnn import (MaskIoUHead, MaskScoringRCNN,
                                 init_mask_scoring_rcnn)
 from .rpn_only import (FastRCNN, RPNOnly, build_fast_rcnn, build_rpn_only,
                        init_fast_rcnn, init_rpn_only)
+from .cascade_rpn import (CascadeRPNNet, build_cascade_rpn,
+                          init_cascade_rpn)
+from .trident import TridentFasterRCNN, build_trident, init_trident
+from .detectors_rs import (DetectoRSCascadeRCNN, build_detectors_rs,
+                           init_detectors_rs)
 from .reppoints import RepPoints, init_reppoints
 from .sparse_rcnn import SparseRCNN, build_sparse_rcnn, init_sparse_rcnn
 from .yolof import YOLOF, DilatedEncoder, build_yolof, init_yolof

@@ -281,4 +281,21 @@ def build_backbone(cfg, dtype) -> nn.Module:
         return RegNet(arch=getattr(cfg, "regnet_arch", "regnetx_3.2gf"),
                       stem_width=getattr(cfg, "regnet_stem_width", 32),
                       dtype=dtype, name="backbone")
+    if kind == "hrnet":
+        from .hrnet import HRNet
+
+        return HRNet(width=getattr(cfg, "hrnet_width", 32),
+                     stage_modules=getattr(cfg, "hrnet_stage_modules",
+                                           (1, 4, 3)),
+                     num_blocks=getattr(cfg, "hrnet_num_blocks", 4),
+                     stage1_blocks=getattr(cfg, "hrnet_stage1_blocks", 4),
+                     stem_width=getattr(cfg, "hrnet_stem_width", 64),
+                     dtype=dtype, name="backbone")
+    if kind == "resnest":
+        from .resnest import ResNeSt
+
+        return ResNeSt(block_counts=cfg.block_counts,
+                       stem_width=cfg.stem_width,
+                       radix=getattr(cfg, "resnest_radix", 2),
+                       dtype=dtype, name="backbone")
     raise ValueError(f"unknown backbone_type {kind!r}")

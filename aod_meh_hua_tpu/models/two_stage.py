@@ -126,6 +126,12 @@ class FasterRCNN(nn.Module):
             self.neck = FPNCARAFE(out_channels=self.cfg.fpn_channels,
                                   num_outs=len(self.cfg.rpn.anchor_strides),
                                   dtype=dtype, name="neck")
+        elif getattr(self.cfg, "neck_type", "fpn") == "hrfpn":
+            from .hrnet import HRFPN
+
+            self.neck = HRFPN(out_channels=self.cfg.fpn_channels,
+                              num_outs=len(self.cfg.rpn.anchor_strides),
+                              dtype=dtype, name="neck")
         else:
             self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
                             num_outs=len(self.cfg.rpn.anchor_strides),

@@ -9,7 +9,8 @@ fixed-shape tensor programs that XLA can fuse and tile onto the MXU/VPU.
 from .bbox import bbox_overlaps, delta_encode, delta_decode, bbox_area
 from .anchors import (AnchorGenerator, SSDAnchorGenerator,
                       YOLOAnchorGenerator, anchor_valid_flags)
-from .assigner import max_iou_assign, anchor_targets, atss_assign
+from .assigner import (max_iou_assign, anchor_targets, atss_assign,
+                       region_assign)
 from .losses import (
     sigmoid_focal_loss,
     edl_softmax_focal_loss,

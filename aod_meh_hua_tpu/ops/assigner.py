@@ -215,3 +215,90 @@ def anchor_targets(
                          bbox_targets.astype(jnp.float32),
                          bbox_weights.astype(jnp.float32), num_pos,
                          gt_idx.astype(jnp.int32))
+
+
+def region_assign(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchor_valid: jnp.ndarray,
+    level_ids: jnp.ndarray,
+    anchor_strides: jnp.ndarray,
+    feat_wh: jnp.ndarray,
+    anchor_scale: float,
+    base_stride: float,
+    num_lvls: int,
+    center_ratio: float = 0.2,
+    ignore_ratio: float = 0.5,
+) -> jnp.ndarray:
+    """RegionAssigner (reference mmdet/core/bbox/assigners/
+    region_assigner.py:57): each gt claims anchors at ONE pyramid level —
+    the level whose base anchor size best matches sqrt(gt area) — marking
+    anchor centers inside the shrunken `center_ratio` region positive and
+    the larger `ignore_ratio` region (own level AND the two adjacent
+    levels) ignored.
+
+    The reference loops gts sequentially, so a later gt overwrites an
+    earlier one; reproduced densely by taking, per anchor, the
+    highest-index gt that touched it (pos or own-level ignore), with the
+    accumulated adjacent-level ignore flags and the validity mask applied
+    afterwards exactly as the reference's trailing steps 4-5.
+
+    Args:
+      anchors: [A, 4] flat multi-level anchors (single anchor per cell);
+      level_ids / anchor_strides / feat_wh: per-anchor level index,
+        stride, and (w, h) featmap clamp bounds — static host tables;
+      anchor_scale / base_stride: cfg scale and stride of level 0.
+
+    Returns assigned [A] int32: -1 ignore, 0 background, g+1 positive.
+    """
+    r1 = (1.0 - center_ratio) / 2.0
+    r2 = (1.0 - ignore_ratio) / 2.0
+
+    gw = gt_boxes[:, 2] - gt_boxes[:, 0]
+    gh = gt_boxes[:, 3] - gt_boxes[:, 1]
+    scale = jnp.sqrt(jnp.maximum(gw * gh, 1e-12))
+    target_lvl = jnp.floor(
+        jnp.log2(scale) - jnp.log2(jnp.asarray(anchor_scale * base_stride)) + 0.5)
+    target_lvl = jnp.clip(target_lvl, 0, num_lvls - 1).astype(jnp.int32)  # [G]
+
+    s = anchor_strides  # [A]
+    acx = (anchors[:, 0] + anchors[:, 2]) * 0.5 / s
+    acy = (anchors[:, 1] + anchors[:, 3]) * 0.5 / s
+
+    def inside(ratio):
+        # region of every gt evaluated at every anchor's stride, clamped
+        # to that anchor's featmap bounds (calc_region semantics)
+        fb = gt_boxes[:, None, :] / s[None, :, None]          # [G, A, 4]
+        x1 = jnp.round((1 - ratio) * fb[..., 0] + ratio * fb[..., 2])
+        y1 = jnp.round((1 - ratio) * fb[..., 1] + ratio * fb[..., 3])
+        x2 = jnp.round(ratio * fb[..., 0] + (1 - ratio) * fb[..., 2])
+        y2 = jnp.round(ratio * fb[..., 1] + (1 - ratio) * fb[..., 3])
+        fw = feat_wh[None, :, 0]
+        fh = feat_wh[None, :, 1]
+        x1 = jnp.clip(x1, 0, fw)
+        y1 = jnp.clip(y1, 0, fh)
+        x2 = jnp.clip(x2, 0, fw)
+        y2 = jnp.clip(y2, 0, fh)
+        return ((acx[None, :] >= x1) & (acx[None, :] <= x2)
+                & (acy[None, :] >= y1) & (acy[None, :] <= y2))  # [G, A]
+
+    lvl_eq = target_lvl[:, None] == level_ids[None, :]            # [G, A]
+    lvl_adj = jnp.abs(target_lvl[:, None] - level_ids[None, :]) == 1
+    gv = gt_valid[:, None]
+
+    pos_mat = inside(r1) & lvl_eq & gv
+    ign_mat = inside(r2)
+    ign_own = ign_mat & lvl_eq & gv
+    ign_adj = jnp.any(ign_mat & lvl_adj & gv, axis=0)             # [A]
+
+    num_gt = gt_boxes.shape[0]
+    gt_ids = jnp.arange(1, num_gt + 1, dtype=jnp.int32)[:, None]
+    touched = pos_mat | ign_own
+    last = jnp.max(jnp.where(touched, gt_ids, 0), axis=0)         # [A]
+    gsel = jnp.clip(last - 1, 0, num_gt - 1)
+    last_is_pos = jnp.take_along_axis(pos_mat, gsel[None, :], axis=0)[0]
+    assigned = jnp.where(last > 0, jnp.where(last_is_pos, last, -1), 0)
+    assigned = jnp.where(ign_adj, -1, assigned)
+    assigned = jnp.where(anchor_valid, assigned, -1)
+    return assigned.astype(jnp.int32)

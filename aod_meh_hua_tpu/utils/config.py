@@ -458,6 +458,21 @@ class HTCConfig(CascadeRCNNConfig):
 
 
 @dataclass(frozen=True)
+class SCNetConfig(HTCConfig):
+    """SCNet (reference configs/scnet/scnet_r50_fpn_1x_coco.py +
+    roi_heads/scnet_roi_head.py): the HTC trunk where the per-stage mask
+    heads collapse to ONE 12-conv (residual-block) mask head run after
+    the last bbox stage, fed by the relayed positive shared-fc features
+    (feature_relay_head) and a global-context vector (glbctx_head,
+    multilabel BCE x3) fused into every RoI; semantic fusion as HTC."""
+
+    mask_res_blocks: int = 6     # 12 convs, conv_to_res=True
+    glbctx_loss_weight: float = 3.0
+
+    family = "scnet"
+
+
+@dataclass(frozen=True)
 class MaskRCNNConfig(FasterRCNNConfig):
     """Mask R-CNN R50-FPN (reference
     configs/_base_/models/mask_rcnn_r50_fpn.py): the Faster R-CNN trunk
@@ -539,6 +554,132 @@ class RPNOnlyConfig(FasterRCNNConfig):
     @property
     def num_fg_classes(self) -> int:
         return 1
+
+
+@dataclass(frozen=True)
+class HRNetFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with the HRNetV2p backbone + HRFPN neck (reference
+    configs/hrnet/faster_rcnn_hrnetv2p_w{18,32}_1x_coco.py +
+    mmdet/models/backbones/hrnet.py + necks/hrfpn.py): parallel
+    multi-resolution branches with exchange units instead of a serial
+    trunk; the neck concatenates all branches at stride 4 and avg-pools
+    the pyramid."""
+
+    backbone_type: str = "hrnet"
+    neck_type: str = "hrfpn"
+    hrnet_width: int = 32
+    hrnet_stage_modules: Tuple[int, ...] = (1, 4, 3)
+    hrnet_num_blocks: int = 4
+    hrnet_stage1_blocks: int = 4
+    hrnet_stem_width: int = 64
+
+    family = "hrnet"
+
+
+@dataclass(frozen=True)
+class ResNeStFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with the ResNeSt split-attention backbone (reference
+    configs/resnest/faster_rcnn_s50_fpn_syncbn-backbone+head_*.py +
+    mmdet/models/backbones/resnest.py): radix-2 split-attention conv2,
+    deep V1d stem, avg-down shortcuts."""
+
+    backbone_type: str = "resnest"
+    resnest_radix: int = 2
+
+    family = "resnest"
+
+
+@dataclass(frozen=True)
+class DetectoRSConfig(CascadeRCNNConfig):
+    """DetectoRS (reference configs/detectors/
+    detectors_cascade_rcnn_r50_1x_coco.py + mmdet/models/backbones/
+    detectors_resnet.py + necks/rfp.py): Cascade R-CNN with Switchable
+    Atrous Convolution in backbone stages 2-4 and a 2-step Recursive
+    Feature Pyramid (FPN -> ASPP feedback -> a second rfp-backbone
+    unroll -> the same FPN -> zero-init sigmoid-gated fusion)."""
+
+    stage_with_sac: Tuple[bool, ...] = (False, True, True, True)
+    rfp_steps: int = 2
+    aspp_out_channels: int = 64  # x4 branches = fpn_channels
+
+    family = "detectors"
+
+
+@dataclass(frozen=True)
+class TridentNetConfig(FasterRCNNConfig):
+    """TridentNet (reference configs/tridentnet/
+    tridentnet_r50_caffe_1x_coco.py + mmdet/models/backbones/
+    trident_resnet.py + detectors/trident_faster_rcnn.py +
+    roi_heads/trident_roi_head.py): a C4 Faster R-CNN whose stage-3
+    conv2s share ONE kernel applied at dilations (1, 2, 3) — three
+    scale-specialized branches riding the batch axis at train time
+    (gts replicated branch-major), with only branch test_branch_idx=1
+    run at eval. RoI head = single-level RoIAlign 14 on C4 + the conv5
+    ResLayer (stride 2) + avg-pool BBoxHead (faster_rcnn_r50_caffe_c4).
+    Caffe normalization (BGR, std 1)."""
+
+    block_counts: Tuple[int, ...] = (3, 4, 6)
+    head_blocks: int = 3
+    trident_dilations: Tuple[int, ...] = (1, 2, 3)
+    test_branch_idx: int = 1
+    c4_stride: int = 16
+    anchor_scales: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 32.0)
+    rpn: RPNCfg = field(default_factory=lambda: RPNCfg(
+        anchor_strides=(16,), ratios=(0.5, 1.0, 2.0),
+        train_nms_pre=4000, train_max_per_img=500,
+        test_nms_pre=2000, test_max_per_img=1000))
+    rcnn: RCNNCfg = field(default_factory=lambda: RCNNCfg(
+        sampler_num=128, pos_fraction=0.5, roi_size=14, roi_strides=(16,)))
+    img_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
+    img_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    img_to_rgb: bool = False
+
+    family = "tridentnet"
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.rpn.ratios) * len(self.anchor_scales)
+
+    def build_anchor_generator(self):
+        from ..ops.anchors import AnchorGenerator
+
+        return AnchorGenerator(strides=self.rpn.anchor_strides,
+                               ratios=self.rpn.ratios,
+                               scales=self.anchor_scales)
+
+    def featmap_sizes(self):
+        h, w = self.canvas
+        assert h % 32 == 0 and w % 32 == 0
+        return [(h // self.c4_stride, w // self.c4_stride)]
+
+    def level_bounds(self):
+        (h, w), = self.featmap_sizes()
+        return [(0, h * w * self.num_anchors_per_cell)]
+
+
+@dataclass(frozen=True)
+class CascadeRPNConfig(RPNOnlyConfig):
+    """Cascade RPN (reference configs/cascade_rpn/
+    crpn_r50_caffe_fpn_1x_coco.py + mmdet/models/dense_heads/
+    cascade_rpn_head.py): two-stage anchor refinement with a single
+    square anchor per cell — stage 0 adapts features with a dilated
+    conv and regresses on region-assigned anchors (IoU loss on decoded
+    boxes, no cls); stage 1 runs an anchor-offset deform conv on the
+    bridged features over the refined anchors (MaxIoU .7/.7/.3 +
+    RandomSampler 256, BCE + IoU loss). Proposal NMS iou 0.8."""
+
+    rpn: RPNCfg = field(default_factory=lambda: RPNCfg(
+        ratios=(1.0,), pos_iou_thr=0.7, neg_iou_thr=0.7, min_pos_iou=0.3,
+        sampler_num=256, pos_fraction=0.5, nms_iou_thr=0.8,
+        train_nms_pre=2000, train_max_per_img=2000,
+        test_nms_pre=2000, test_max_per_img=2000))
+    s0_stds: Tuple[float, ...] = (0.1, 0.1, 0.5, 0.5)
+    s1_stds: Tuple[float, ...] = (0.05, 0.05, 0.1, 0.1)
+    center_ratio: float = 0.2
+    ignore_ratio: float = 0.5
+    stage0_dilation: int = 3
+
+    family = "cascade_rpn"
 
 
 @dataclass(frozen=True)
@@ -1306,6 +1447,28 @@ class GFLConfig(ATSSConfig):
 
 
 @dataclass(frozen=True)
+class LDConfig(GFLConfig):
+    """Localization Distillation (reference configs/ld/
+    ld_r18_gflv1_r101_fpn_coco_1x.py + detectors/kd_one_stage.py +
+    dense_heads/ld_head.py + losses/kd_loss.py): a GFL student whose
+    box-distribution logits additionally match a frozen GFL teacher's
+    via temperature-10 KL on the positive anchors (weight 0.25). The
+    reference pairs an r18 student with an r101 teacher; here both are
+    bottleneck ResNets (student keeps the family default depth, teacher
+    depth set by teacher_block_counts)."""
+
+    ld_loss_weight: float = 0.25
+    ld_temperature: float = 10.0
+    teacher_block_counts: Tuple[int, ...] = (3, 4, 23, 3)  # r101
+
+    family = "ld"
+
+    def teacher_config(self) -> "LDConfig":
+        return dataclasses.replace(
+            self, block_counts=self.teacher_block_counts)
+
+
+@dataclass(frozen=True)
 class VFNetConfig(ATSSConfig):
     """VFNet R50-FPN (reference configs/vfnet/vfnet_r50_fpn_1x_coco.py):
     ATSS assignment + varifocal IoU-aware cls loss + star-shaped
@@ -1816,6 +1979,20 @@ class CornerNetConfig:
     def level_bounds(self):
         (h, w), = self.featmap_sizes()
         return [(0, h * w)]
+
+
+@dataclass(frozen=True)
+class CentripetalNetConfig(CornerNetConfig):
+    """CentripetalNet (reference configs/centripetalnet/
+    centripetalnet_hourglass104_mstest_16x6_210e_coco.py +
+    mmdet/models/dense_heads/centripetal_head.py): the CornerNet
+    hourglass/corner-pool trunk with the embedding branch replaced by
+    guiding-shift-driven deform feature adaption and centripetal-shift
+    corner pairing."""
+
+    corner_emb_channels: int = 0
+
+    family = "centripetalnet"
 
 
 @dataclass(frozen=True)
@@ -2451,6 +2628,46 @@ def tiny_fast_rcnn_config(**overrides) -> FastRCNNConfig:
     return FastRCNNConfig(**base)
 
 
+def tiny_trident_config(**overrides) -> TridentNetConfig:
+    """A shrunken TridentNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1),
+        head_blocks=1,
+        stem_width=8,
+        num_classes=6,
+        max_gt=8,
+        anchor_scales=(1.0, 2.0, 4.0),
+        rpn=RPNCfg(anchor_strides=(16,), ratios=(0.5, 1.0, 2.0),
+                   train_nms_pre=96, train_max_per_img=48,
+                   test_nms_pre=96, test_max_per_img=48, sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, pos_fraction=0.5, roi_size=14,
+                     roi_strides=(16,)),
+        test=TestCfg(nms_pre=48, pre_nms_cands=48, max_per_img=20),
+    )
+    base.update(overrides)
+    return TridentNetConfig(**base)
+
+
+def tiny_cascade_rpn_config(**overrides) -> CascadeRPNConfig:
+    """A shrunken Cascade RPN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(ratios=(1.0,), pos_iou_thr=0.7, neg_iou_thr=0.7,
+                   min_pos_iou=0.3, sampler_num=64, nms_iou_thr=0.8,
+                   train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return CascadeRPNConfig(**base)
+
+
 def tiny_fcos_config(**overrides) -> FCOSConfig:
     """A shrunken FCOS for fast CPU unit tests."""
     base = dict(
@@ -2701,6 +2918,25 @@ def tiny_gfl_config(**overrides) -> GFLConfig:
     return GFLConfig(**base)
 
 
+def tiny_ld_config(**overrides) -> LDConfig:
+    """A shrunken LD (GFL student + teacher) for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        teacher_block_counts=(1, 1, 2, 1),
+        stem_width=8,
+        fpn_channels=16,
+        stacked_convs=1,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        reg_max=8,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return LDConfig(**base)
+
+
 def tiny_yolo_config(**overrides) -> YOLOConfig:
     """A shrunken YOLOv3 for fast CPU unit tests."""
     base = dict(
@@ -2905,6 +3141,31 @@ def tiny_htc_config(**overrides) -> HTCConfig:
     return HTCConfig(**base)
 
 
+def tiny_scnet_config(**overrides) -> SCNetConfig:
+    """A shrunken SCNet for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        mask_res_blocks=2,
+        mask_channels=8,
+        mask_size=14,
+        mask_roi_size=7,
+        gt_mask_raster=28,
+        seg_classes=7,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return SCNetConfig(**base)
+
+
 def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:
     """A shrunken Cascade R-CNN for fast CPU unit tests."""
     base = dict(
@@ -2922,6 +3183,68 @@ def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:
     )
     base.update(overrides)
     return CascadeRCNNConfig(**base)
+
+
+def tiny_hrnet_config(**overrides) -> HRNetFasterRCNNConfig:
+    """A shrunken HRNet Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        hrnet_width=4,
+        hrnet_stage_modules=(1, 1, 1),
+        hrnet_num_blocks=1,
+        hrnet_stage1_blocks=1,
+        hrnet_stem_width=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return HRNetFasterRCNNConfig(**base)
+
+
+def tiny_resnest_config(**overrides) -> ResNeStFasterRCNNConfig:
+    """A shrunken ResNeSt Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return ResNeStFasterRCNNConfig(**base)
+
+
+def tiny_detectors_config(**overrides) -> DetectoRSConfig:
+    """A shrunken DetectoRS for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        aspp_out_channels=4,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return DetectoRSConfig(**base)
 
 
 def tiny_atss_config(**overrides) -> ATSSConfig:
@@ -2958,6 +3281,25 @@ def tiny_reppoints_config(**overrides) -> RepPointsConfig:
     )
     base.update(overrides)
     return RepPointsConfig(**base)
+
+
+def tiny_centripetalnet_config(**overrides) -> "CentripetalNetConfig":
+    """A shrunken CentripetalNet for fast CPU unit tests."""
+    base = dict(
+        input_size=64,
+        num_stacks=1,
+        hourglass_depth=2,
+        stage_channels=(8, 8, 16),
+        stage_blocks=(1, 1, 1),
+        stem_width=8,
+        num_classes=6,
+        max_gt=8,
+        corner_topk=20,
+        num_dets=64,
+        test=TestCfg(score_thr=0.0, max_per_img=20),
+    )
+    base.update(overrides)
+    return CentripetalNetConfig(**base)
 
 
 def tiny_cornernet_config(**overrides) -> CornerNetConfig:
@@ -3014,6 +3356,11 @@ ZOO_FAMILIES = {
     "mask_scoring_rcnn": (MaskScoringRCNNConfig, tiny_mask_scoring_config),
     "point_rend": (PointRendConfig, tiny_point_rend_config),
     "rpn": (RPNOnlyConfig, tiny_rpn_config),
+    "cascade_rpn": (CascadeRPNConfig, tiny_cascade_rpn_config),
+    "tridentnet": (TridentNetConfig, tiny_trident_config),
+    "detectors": (DetectoRSConfig, tiny_detectors_config),
+    "hrnet": (HRNetFasterRCNNConfig, tiny_hrnet_config),
+    "resnest": (ResNeStFasterRCNNConfig, tiny_resnest_config),
     "fast_rcnn": (FastRCNNConfig, tiny_fast_rcnn_config),
     "fcos": (FCOSConfig, tiny_fcos_config),
     "free_anchor": (FreeAnchorConfig, tiny_free_anchor_config),
@@ -3025,6 +3372,7 @@ ZOO_FAMILIES = {
     "grid_rcnn": (GridRCNNConfig, tiny_grid_rcnn_config),
     "sabl": (SABLRetinaNetConfig, tiny_sabl_config),
     "htc": (HTCConfig, tiny_htc_config),
+    "scnet": (SCNetConfig, tiny_scnet_config),
     "yolact": (YOLACTConfig, tiny_yolact_config),
     "carafe": (CARAFEFasterRCNNConfig, tiny_carafe_config),
     "fsaf": (FSAFConfig, tiny_fsaf_config),
@@ -3032,6 +3380,7 @@ ZOO_FAMILIES = {
     "atss": (ATSSConfig, tiny_atss_config),
     "vfnet": (VFNetConfig, tiny_vfnet_config),
     "gfl": (GFLConfig, tiny_gfl_config),
+    "ld": (LDConfig, tiny_ld_config),
     "yolov3": (YOLOConfig, tiny_yolo_config),
     "detr": (DETRConfig, tiny_detr_config),
     "deformable_detr": (DeformableDETRConfig, tiny_deformable_detr_config),
@@ -3041,6 +3390,7 @@ ZOO_FAMILIES = {
     "foveabox": (FoveaBoxConfig, tiny_foveabox_config),
     "paa": (PAAConfig, tiny_paa_config),
     "cornernet": (CornerNetConfig, tiny_cornernet_config),
+    "centripetalnet": (CentripetalNetConfig, tiny_centripetalnet_config),
     "reppoints": (RepPointsConfig, tiny_reppoints_config),
 }
 

@@ -156,13 +156,17 @@ def test_zoo_families_train_on_mesh():
         make_ms_rcnn_train_step
     from aod_meh_hua_tpu.engine.paa import make_paa_train_step
     from aod_meh_hua_tpu.engine.reppoints import make_reppoints_train_step
+    from aod_meh_hua_tpu.engine.cascade_rpn import make_crpn_train_step
+    from aod_meh_hua_tpu.engine.trident import make_trident_train_step
+    from aod_meh_hua_tpu.engine.centripetal import \
+        make_centripetal_train_step
     from aod_meh_hua_tpu.engine.rpn_only import (ProposalBatch,
                                                  make_fast_rcnn_train_step,
                                                  make_rpn_train_step)
     from aod_meh_hua_tpu.engine.sparse_rcnn import make_sparse_rcnn_train_step
     from aod_meh_hua_tpu.engine.two_stage import (
-        make_double_head_train_step, make_dynamic_rcnn_train_step,
-        make_faster_rcnn_train_step)
+        make_cascade_train_step, make_double_head_train_step,
+        make_dynamic_rcnn_train_step, make_faster_rcnn_train_step)
     from aod_meh_hua_tpu.engine.yolo import make_yolo_train_step
     from aod_meh_hua_tpu.engine.yolof import make_yolof_train_step
     from aod_meh_hua_tpu.ops import anchor_valid_flags
@@ -179,6 +183,8 @@ def test_zoo_families_train_on_mesh():
         tiny_mask_rcnn_config, tiny_mask_scoring_config,
         tiny_paa_config, tiny_pafpn_config, tiny_pisa_config,
         tiny_pisa_rcnn_config,
+        tiny_cascade_rpn_config, tiny_detectors_config, tiny_trident_config,
+        tiny_hrnet_config, tiny_resnest_config, tiny_centripetalnet_config,
         tiny_reppoints_config, tiny_rpn_config,
         tiny_sparse_rcnn_config, tiny_vfnet_config, tiny_yolo_config,
         tiny_yolof_config,
@@ -212,12 +218,18 @@ def test_zoo_families_train_on_mesh():
         (tiny_foveabox_config(), make_fovea_train_step, False),
         (tiny_paa_config(), make_paa_train_step, False),
         (tiny_cornernet_config(), make_cornernet_train_step, False),
+        (tiny_centripetalnet_config(), make_centripetal_train_step, False),
         (tiny_reppoints_config(), make_reppoints_train_step, False),
         (tiny_deformable_detr_config(), make_deformable_detr_train_step, True),
         (tiny_mask_rcnn_config(), make_mask_rcnn_train_step, True),
         (tiny_mask_scoring_config(), make_ms_rcnn_train_step, True),
         (tiny_rpn_config(), make_rpn_train_step, True),
         (tiny_fast_rcnn_config(), make_fast_rcnn_train_step, True),
+        (tiny_cascade_rpn_config(), make_crpn_train_step, True),
+        (tiny_trident_config(), make_trident_train_step, True),
+        (tiny_detectors_config(), make_cascade_train_step, True),
+        (tiny_hrnet_config(), make_faster_rcnn_train_step, True),
+        (tiny_resnest_config(), make_faster_rcnn_train_step, True),
     ]
     for cfg, make_step, needs_key in cases:
         model, variables = init_detector(cfg, seed=0)

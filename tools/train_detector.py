@@ -83,6 +83,10 @@ def parse_args():
                     help="fast_rcnn: proposals for the VAL split "
                          "(data.test.proposal_file); defaults to "
                          "--proposal-file")
+    ap.add_argument("--teacher-ckpt", default=None,
+                    help="ld: GFL teacher checkpoint (the reference's "
+                         "teacher_ckpt, kd_one_stage.py); defaults to a "
+                         "fresh teacher init (smoke mode)")
     return ap.parse_args()
 
 
@@ -96,9 +100,10 @@ def build(family, mini, dtype):
             else full_cls(compute_dtype=dtype))
 
 
-def make_steps(family, model, cfg, tx):
+def make_steps(family, model, cfg, tx, teacher_ckpt=None):
     """Uniform step(state, batch, key) signature across families."""
-    if family in ("faster_rcnn", "libra_rcnn", "pafpn", "carafe"):
+    if family in ("faster_rcnn", "libra_rcnn", "pafpn", "carafe", "hrnet",
+                  "resnest"):
         from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
 
         return make_faster_rcnn_train_step(model, cfg, tx)
@@ -130,11 +135,19 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.rpn_only import make_rpn_train_step
 
         return make_rpn_train_step(model, cfg, tx)
+    if family == "cascade_rpn":
+        from aod_meh_hua_tpu.engine.cascade_rpn import make_crpn_train_step
+
+        return make_crpn_train_step(model, cfg, tx)
+    if family == "tridentnet":
+        from aod_meh_hua_tpu.engine.trident import make_trident_train_step
+
+        return make_trident_train_step(model, cfg, tx)
     if family == "fast_rcnn":
         from aod_meh_hua_tpu.engine.rpn_only import make_fast_rcnn_train_step
 
         return make_fast_rcnn_train_step(model, cfg, tx)
-    if family == "cascade_rcnn":
+    if family in ("cascade_rcnn", "detectors"):
         from aod_meh_hua_tpu.engine.two_stage import make_cascade_train_step
 
         return make_cascade_train_step(model, cfg, tx)
@@ -154,6 +167,20 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.htc import make_htc_train_step
 
         return make_htc_train_step(model, cfg, tx)
+    if family == "scnet":
+        from aod_meh_hua_tpu.engine.scnet import make_scnet_train_step
+
+        return make_scnet_train_step(model, cfg, tx)
+    if family == "ld":
+        from aod_meh_hua_tpu.api import init_detector, load_checkpoint
+        from aod_meh_hua_tpu.engine.ld import make_ld_train_step
+
+        tcfg = cfg.teacher_config()
+        teacher_model, teacher_vars = init_detector(tcfg, seed=1)
+        if teacher_ckpt:
+            teacher_vars = load_checkpoint(teacher_ckpt, teacher_vars)
+        return make_ld_train_step(model, cfg, tx, teacher_model, tcfg,
+                                  teacher_vars)
     if family == "yolact":
         from aod_meh_hua_tpu.engine.yolact import make_yolact_train_step
 
@@ -180,6 +207,11 @@ def make_steps(family, model, cfg, tx):
         from aod_meh_hua_tpu.engine.cornernet import make_cornernet_train_step
 
         inner = make_cornernet_train_step(model, cfg, tx)
+    elif family == "centripetalnet":
+        from aod_meh_hua_tpu.engine.centripetal import \
+            make_centripetal_train_step
+
+        inner = make_centripetal_train_step(model, cfg, tx)
     elif family == "reppoints":
         from aod_meh_hua_tpu.engine.reppoints import make_reppoints_train_step
 
@@ -316,7 +348,8 @@ def main():
     model, variables = init_detector(cfg, seed=args.seed)
     state, tx = create_train_state(model, variables, tcfg,
                                    frozen_stages=cfg.frozen_stages)
-    step = make_steps(args.family, model, cfg, tx)
+    step = make_steps(args.family, model, cfg, tx,
+                      teacher_ckpt=getattr(args, 'teacher_ckpt', None))
 
     mesh = None
     shard = lambda b: b
@@ -380,7 +413,7 @@ def main():
             return {"mAP": eval_map(results, anns, iou_thr=0.5,
                                     mode="11points")["mAP"]}
 
-    if args.family == "rpn":
+    if args.family in ("rpn", "cascade_rpn"):
         from aod_meh_hua_tpu.engine.rpn_only import proposal_recall
 
         def eval_fn(results, anns):
