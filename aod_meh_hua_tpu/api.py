@@ -95,6 +95,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "detectors": init_detectors_rs,
         "hrnet": init_faster_rcnn,  # cfg swaps backbone/neck
         "resnest": init_faster_rcnn,  # cfg swaps the backbone
+        "groie": init_faster_rcnn,  # cfg swaps the RoI extractor
+        "empirical_attention": init_faster_rcnn,  # backbone plugin
         "fast_rcnn": init_fast_rcnn,
     }[_family(cfg)]
     model, variables = init_fn(cfg, jax.random.PRNGKey(seed))
@@ -187,6 +189,8 @@ def make_eval_step_for(model, cfg):
         "detectors": make_cascade_eval_step,
         "hrnet": make_faster_rcnn_eval_step,
         "resnest": make_faster_rcnn_eval_step,
+        "groie": make_faster_rcnn_eval_step,
+        "empirical_attention": make_faster_rcnn_eval_step,
     }
     if _family(cfg) == "fast_rcnn":
         raise ValueError(

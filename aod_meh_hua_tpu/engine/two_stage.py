@@ -36,7 +36,7 @@ from ..ops.losses import (balanced_l1_loss,
                           binary_cross_entropy_with_logits,
                           softmax_cross_entropy)
 from ..ops.nms import batched_multiclass_nms, grouped_nms
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align, roi_align
 from ..ops.sampler import libra_sample_pos_neg, random_sample_pos_neg
 from .batch import Batch, ConstArg, EvalBatch, prepare_images
 from .train import TrainState
@@ -185,6 +185,20 @@ def _extract_rois(cfg, feats, rois, roi_size: int = None):
     return out.reshape((-1,) + out.shape[2:])
 
 
+def _extract_rois_groie(model, variables, cfg, feats, rois):
+    """GenericRoIExtractor (groie configs): RoIAlign the SAME rois from
+    EVERY level (no finest_scale routing), then the model's shared-pre
+    -> sum -> post-attention fusion (generic_roi_extractor.py:44-85)."""
+    rc = cfg.rcnn
+    per_level = []
+    for i, stride in enumerate(rc.roi_strides):
+        out = jax.vmap(lambda f, r, s=stride: roi_align(
+            f, r, rc.roi_size, 1.0 / s, rc.sampling_ratio))(feats[i], rois)
+        per_level.append(out.reshape((-1,) + out.shape[2:]))
+    return model.apply(variables, per_level,
+                       method=lambda m, l: m.groie_fuse(l))
+
+
 def make_faster_rcnn_train_step(model, cfg, tx) -> Callable:
     """One fused jit step: RPN losses + proposals + RoI sampling + RoI
     losses + SGD update. Signature matches engine.train.make_train_step:
@@ -222,7 +236,11 @@ def make_faster_rcnn_train_step(model, cfg, tx) -> Callable:
         smp = jax.vmap(functools.partial(_roi_sample_single, cfg=cfg))(
             jax.random.split(k_roi, b), props, prop_valid,
             batch.gt_boxes, batch.gt_labels, batch.gt_valid)
-        roi_feats = _extract_rois(cfg, feats, smp.rois)
+        if getattr(cfg, "roi_extractor", "single") == "groie":
+            roi_feats = _extract_rois_groie(model, variables, cfg, feats,
+                                            smp.rois)
+        else:
+            roi_feats = _extract_rois(cfg, feats, smp.rois)
         cls, reg = model.apply(variables, roi_feats, method=_roi)
 
         labels = smp.labels.reshape(-1)
@@ -285,7 +303,11 @@ def make_faster_rcnn_eval_step(model, cfg) -> Callable:
         props, _, prop_valid = proposal_fn(
             rpn_cls, rpn_reg, anchors, batch.img_shapes,
             cfg.rpn.test_nms_pre, cfg.rpn.test_max_per_img)
-        roi_feats = _extract_rois(cfg, feats, props)
+        if getattr(cfg, "roi_extractor", "single") == "groie":
+            roi_feats = _extract_rois_groie(model, variables, cfg, feats,
+                                            props)
+        else:
+            roi_feats = _extract_rois(cfg, feats, props)
         cls, reg = model.apply(variables, roi_feats, method=_roi)
         b, p = props.shape[:2]
         probs = jax.nn.softmax(cls, axis=-1).reshape(b, p, c + 1)

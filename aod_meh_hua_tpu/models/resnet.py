@@ -57,6 +57,9 @@ class Bottleneck(nn.Module):
     # conv (reference resnet.py:174-195, configs/dcn/*.py)
     dcn: Any = None
     gcb_ratio: Any = None  # GCNet ContextBlock after conv3 (configs/gcnet/)
+    # GeneralizedAttention plugin after conv2 (attention_type string;
+    # reference configs/empirical_attention/*, position='after_conv2')
+    attention: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,6 +82,12 @@ class Bottleneck(nn.Module):
                            self.dtype, "conv2")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         y = drop(nn.relu(y))
+        if self.attention:
+            from .attention import GeneralizedAttention
+
+            y = GeneralizedAttention(
+                num_heads=8, attention_type=self.attention, kv_stride=2,
+                dtype=self.dtype, name="gen_attention")(y)
         y = _make_conv(self.int8, self.planes * 4, (1, 1), (1, 1),
                        ((0, 0), (0, 0)), self.dtype, "conv3")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
@@ -160,6 +169,9 @@ class ResNet(nn.Module):
     # GCNet ContextBlock after conv3 in c3-c5 (ratio 1/4 or 1/16)
     gcb_ratio: Any = None
     stage_with_gcb: Sequence[bool] = (False, True, True, True)
+    # GeneralizedAttention after conv2 (empirical_attention: c4-c5)
+    attention: Any = None
+    stage_with_attention: Sequence[bool] = (False, False, True, True)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -185,6 +197,8 @@ class ResNet(nn.Module):
                     dcn=(self.dcn if self.stage_with_dcn[stage] else None),
                     gcb_ratio=(self.gcb_ratio
                                if self.stage_with_gcb[stage] else None),
+                    attention=(self.attention
+                               if self.stage_with_attention[stage] else None),
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x)
             outs.append(x)

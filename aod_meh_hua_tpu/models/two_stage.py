@@ -112,6 +112,7 @@ class FasterRCNN(nn.Module):
                 stem_s2d=self.cfg.stem_s2d,
                 dcn=getattr(self.cfg, "backbone_dcn", None),
                 gcb_ratio=getattr(self.cfg, "backbone_gcb_ratio", None),
+                attention=getattr(self.cfg, "backbone_attention", None),
                 dtype=dtype, name="backbone")
         if getattr(self.cfg, "neck_type", "fpn") == "pafpn":
             from .fpn import PAFPN
@@ -150,6 +151,20 @@ class FasterRCNN(nn.Module):
                            dtype=dtype, name="bfp")
         else:
             self.bfp = None
+        # GRoIE (configs/groie/faster_rcnn_r50_fpn_groie_1x_coco.py):
+        # shared 5x5 pre ConvModule per level + GeneralizedAttention
+        # post module on the level sum
+        if getattr(self.cfg, "roi_extractor", "single") == "groie":
+            from .attention import GeneralizedAttention
+
+            self.groie_pre = nn.Conv(self.cfg.fpn_channels, (5, 5),
+                                     padding=((2, 2), (2, 2)), dtype=dtype,
+                                     name="groie_pre")
+            self.groie_post = GeneralizedAttention(
+                num_heads=6, attention_type="0100", kv_stride=2,
+                dtype=dtype, name="groie_post")
+        else:
+            self.groie_pre = None
 
     def features(self, images: jnp.ndarray):
         feats = self.neck(self.backbone(images))
@@ -163,12 +178,23 @@ class FasterRCNN(nn.Module):
     def roi_forward(self, roi_feats: jnp.ndarray):
         return self.bbox_head(roi_feats)
 
+    def groie_fuse(self, per_level):
+        """GenericRoIExtractor aggregation: pre-process each level's
+        RoI features (shared conv), sum, post-attention."""
+        acc = None
+        for f in per_level:
+            y = nn.relu(self.groie_pre(f))
+            acc = y if acc is None else acc + y
+        return self.groie_post(acc)
+
     def __call__(self, images: jnp.ndarray):
         """Init/compile-check forward: builds every parameter."""
         feats = self.features(images)
         rpn_cls, rpn_reg = self.rpn_head(feats)
         s = self.cfg.rcnn.roi_size
         dummy = jnp.zeros((1, s, s, self.cfg.fpn_channels), jnp.float32)
+        if self.groie_pre is not None:
+            dummy = self.groie_fuse([dummy] * len(self.cfg.rcnn.roi_strides))
         cls, reg = self.bbox_head(dummy)
         return rpn_cls, rpn_reg, cls, reg
 

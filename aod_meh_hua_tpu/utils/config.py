@@ -557,6 +557,33 @@ class RPNOnlyConfig(FasterRCNNConfig):
 
 
 @dataclass(frozen=True)
+class GRoIEFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with the Generic RoI Extractor (reference
+    configs/groie/faster_rcnn_r50_fpn_groie_1x_coco.py +
+    roi_heads/roi_extractors/generic_roi_extractor.py): RoIAlign the
+    SAME rois from EVERY pyramid level (no finest_scale routing), a
+    shared 5x5 pre-conv per level, sum aggregation, and a
+    GeneralizedAttention ('0100', 6 heads, kv_stride 2) post module."""
+
+    roi_extractor: str = "groie"
+
+    family = "groie"
+
+
+@dataclass(frozen=True)
+class EmpiricalAttentionConfig(FasterRCNNConfig):
+    """Faster R-CNN with GeneralizedAttention blocks after conv2 in
+    backbone stages c4-c5 (reference configs/empirical_attention/
+    faster_rcnn_r50_fpn_attention_{0010,1111}_1x_coco.py — the
+    attention_type mask selects the energy terms; the default '0010'
+    keeps only the bias-&-key-content term)."""
+
+    backbone_attention: str = "0010"
+
+    family = "empirical_attention"
+
+
+@dataclass(frozen=True)
 class HRNetFasterRCNNConfig(FasterRCNNConfig):
     """Faster R-CNN with the HRNetV2p backbone + HRFPN neck (reference
     configs/hrnet/faster_rcnn_hrnetv2p_w{18,32}_1x_coco.py +
@@ -3185,6 +3212,45 @@ def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:
     return CascadeRCNNConfig(**base)
 
 
+def tiny_groie_config(**overrides) -> GRoIEFasterRCNNConfig:
+    """A shrunken GRoIE Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return GRoIEFasterRCNNConfig(**base)
+
+
+def tiny_empirical_attention_config(**overrides) -> EmpiricalAttentionConfig:
+    """A shrunken empirical-attention Faster R-CNN for CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        backbone_attention="1111",  # exercise every energy term
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return EmpiricalAttentionConfig(**base)
+
+
 def tiny_hrnet_config(**overrides) -> HRNetFasterRCNNConfig:
     """A shrunken HRNet Faster R-CNN for fast CPU unit tests."""
     base = dict(
@@ -3361,6 +3427,9 @@ ZOO_FAMILIES = {
     "detectors": (DetectoRSConfig, tiny_detectors_config),
     "hrnet": (HRNetFasterRCNNConfig, tiny_hrnet_config),
     "resnest": (ResNeStFasterRCNNConfig, tiny_resnest_config),
+    "groie": (GRoIEFasterRCNNConfig, tiny_groie_config),
+    "empirical_attention": (EmpiricalAttentionConfig,
+                            tiny_empirical_attention_config),
     "fast_rcnn": (FastRCNNConfig, tiny_fast_rcnn_config),
     "fcos": (FCOSConfig, tiny_fcos_config),
     "free_anchor": (FreeAnchorConfig, tiny_free_anchor_config),

@@ -103,7 +103,7 @@ def build(family, mini, dtype):
 def make_steps(family, model, cfg, tx, teacher_ckpt=None):
     """Uniform step(state, batch, key) signature across families."""
     if family in ("faster_rcnn", "libra_rcnn", "pafpn", "carafe", "hrnet",
-                  "resnest"):
+                  "resnest", "groie", "empirical_attention"):
         from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
 
         return make_faster_rcnn_train_step(model, cfg, tx)
