@@ -39,7 +39,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
                          init_foveabox,
                          init_fast_rcnn, init_ga_retinanet, init_grid_rcnn,
                          init_htc, init_mask_rcnn, init_sabl_retinanet,
-                         init_scnet,
+                         init_scnet, init_nasfcos, init_gn_ws,
                          init_yolact,
                          init_mask_scoring_rcnn, init_point_rend,
                          init_reppoints,
@@ -57,6 +57,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "double_head_rcnn": init_double_head_rcnn,
         "cascade_rcnn": init_cascade_rcnn,
         "fcos": init_fcos,
+        "nas_fcos": init_nasfcos,
         "fsaf": init_fsaf,
         "free_anchor": init_free_anchor,
         "ghm": init_free_anchor,  # same plain retina model; GHM is a loss
@@ -87,6 +88,7 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "reppoints": init_reppoints,
         "deformable_detr": init_deformable_detr,
         "mask_rcnn": init_mask_rcnn,
+        "seesaw": init_mask_rcnn,  # cfg grows the C+2 seesaw classifier
         "mask_scoring_rcnn": init_mask_scoring_rcnn,
         "point_rend": init_point_rend,
         "rpn": init_rpn_only,
@@ -96,6 +98,8 @@ def init_detector(cfg, checkpoint: Optional[str] = None, seed: int = 0):
         "hrnet": init_faster_rcnn,  # cfg swaps backbone/neck
         "resnest": init_faster_rcnn,  # cfg swaps the backbone
         "groie": init_faster_rcnn,  # cfg swaps the RoI extractor
+        "fpg": init_faster_rcnn,  # cfg swaps the neck
+        "gn_ws": init_gn_ws,
         "empirical_attention": init_faster_rcnn,  # backbone plugin
         "fast_rcnn": init_fast_rcnn,
     }[_family(cfg)]
@@ -123,6 +127,7 @@ def make_eval_step_for(model, cfg):
     from .engine.sabl import make_sabl_eval_step
     from .engine.htc import make_htc_eval_step
     from .engine.scnet import make_scnet_eval_step
+    from .engine.seesaw import make_seesaw_eval_step
     from .engine.yolact import make_yolact_eval_step
     from .engine.autoassign import make_autoassign_eval_step
     from .engine.fsaf import make_fsaf_eval_step
@@ -151,6 +156,7 @@ def make_eval_step_for(model, cfg):
         "double_head_rcnn": make_double_head_eval_step,
         "cascade_rcnn": make_cascade_eval_step,
         "fcos": make_fcos_eval_step,
+        "nas_fcos": make_fcos_eval_step,  # same output contract
         "fsaf": make_fsaf_eval_step,
         "free_anchor": make_free_anchor_eval_step,
         "ghm": make_free_anchor_eval_step,  # retina eval, cfg stds differ
@@ -181,6 +187,7 @@ def make_eval_step_for(model, cfg):
         "reppoints": make_reppoints_eval_step,
         "deformable_detr": make_deformable_detr_eval_step,
         "mask_rcnn": make_mask_rcnn_eval_step,
+        "seesaw": make_seesaw_eval_step,
         "mask_scoring_rcnn": make_ms_rcnn_eval_step,
         "point_rend": make_point_rend_eval_step,
         "rpn": make_rpn_eval_step,
@@ -190,6 +197,8 @@ def make_eval_step_for(model, cfg):
         "hrnet": make_faster_rcnn_eval_step,
         "resnest": make_faster_rcnn_eval_step,
         "groie": make_faster_rcnn_eval_step,
+        "fpg": make_faster_rcnn_eval_step,
+        "gn_ws": make_faster_rcnn_eval_step,
         "empirical_attention": make_faster_rcnn_eval_step,
     }
     if _family(cfg) == "fast_rcnn":

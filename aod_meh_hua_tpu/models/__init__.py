@@ -23,6 +23,8 @@ from .guided_anchor import (GARetinaNet, build_ga_retinanet,
 from .grid_rcnn import GridRCNN, build_grid_rcnn, init_grid_rcnn
 from .htc import HTC, build_htc, init_htc
 from .scnet import SCNet, build_scnet, init_scnet
+from .nasfcos import NASFCOS, build_nasfcos, init_nasfcos
+from .gn_ws import GNWSFasterRCNN, build_gn_ws, init_gn_ws
 from .sabl import SABLRetinaNet, build_sabl_retinanet, init_sabl_retinanet
 from .yolact import YOLACT, build_yolact, init_yolact
 from .fsaf import FSAF, FSAFHead, build_fsaf, init_fsaf

@@ -73,6 +73,8 @@ class MaskRCNN(nn.Module):
                                 feat_channels=self.cfg.fpn_channels,
                                 dtype=dtype, name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(num_classes=self.cfg.num_classes,
+                                           cls_channels=getattr(
+                                               self.cfg, "cls_channels", 0),
                                            fc_channels=self.cfg.rcnn.fc_channels,
                                            dtype=dtype, name="bbox_head")
         self.mask_head = FCNMaskHead(num_classes=self.cfg.num_classes,

@@ -73,6 +73,9 @@ class Shared2FCBBoxHead(nn.Module):
     num_classes: int
     fc_channels: int = 1024
     reg_class_agnostic: bool = False
+    # SeesawLoss custom head (seesaw_loss.py get_cls_channels): C class
+    # logits + a 2-way objectness pair instead of the C+1 softmax
+    cls_channels: int = 0  # 0 = num_classes + 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,7 +87,8 @@ class Shared2FCBBoxHead(nn.Module):
                              bias_init=zeros, dtype=self.dtype, name="shared_fc_0")(x))
         x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xavier_uniform(),
                              bias_init=zeros, dtype=self.dtype, name="shared_fc_1")(x))
-        cls = nn.Dense(self.num_classes + 1, kernel_init=normal(0.01),
+        cls = nn.Dense(self.cls_channels or self.num_classes + 1,
+                       kernel_init=normal(0.01),
                        bias_init=zeros, dtype=self.dtype, name="fc_cls")(x)
         reg_out = 4 if self.reg_class_agnostic else self.num_classes * 4
         reg = nn.Dense(reg_out, kernel_init=normal(0.001),
@@ -133,6 +137,15 @@ class FasterRCNN(nn.Module):
             self.neck = HRFPN(out_channels=self.cfg.fpn_channels,
                               num_outs=len(self.cfg.rpn.anchor_strides),
                               dtype=dtype, name="neck")
+        elif getattr(self.cfg, "neck_type", "fpn") == "fpg":
+            from .fpg import FPG
+
+            self.neck = FPG(out_channels=self.cfg.fpn_channels,
+                            inter_channels=self.cfg.fpn_channels,
+                            num_outs=len(self.cfg.rpn.anchor_strides),
+                            stack_times=getattr(self.cfg, "fpg_stack_times",
+                                                9),
+                            dtype=dtype, name="neck")
         else:
             self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=0,
                             num_outs=len(self.cfg.rpn.anchor_strides),

@@ -492,6 +492,27 @@ class MaskRCNNConfig(FasterRCNNConfig):
 
 
 @dataclass(frozen=True)
+class SeesawMaskRCNNConfig(MaskRCNNConfig):
+    """Seesaw-loss Mask R-CNN (reference configs/seesaw_loss/
+    mask_rcnn_r50_fpn_random_seesaw_loss_mstrain_2x_lvis_v1.py +
+    losses/seesaw_loss.py): long-tailed instance segmentation — the
+    classifier grows a 2-way objectness pair (C+2 channels), the class
+    CE runs on positives only with the seesaw mitigation (p=0.8) /
+    compensation (q=2.0) log-weights from cross-step cumulative class
+    counts, and eval rescores softmax(classes) * p(pos)."""
+
+    seesaw_p: float = 0.8
+    seesaw_q: float = 2.0
+    seesaw_eps: float = 1e-2
+
+    family = "seesaw"
+
+    @property
+    def cls_channels(self) -> int:
+        return self.num_classes + 2
+
+
+@dataclass(frozen=True)
 class PointRendConfig(MaskRCNNConfig):
     """PointRend (reference configs/point_rend/point_rend_r50_caffe_
     fpn_mstrain_1x_coco.py + roi_heads/point_rend_roi_head.py +
@@ -581,6 +602,32 @@ class EmpiricalAttentionConfig(FasterRCNNConfig):
     backbone_attention: str = "0010"
 
     family = "empirical_attention"
+
+
+@dataclass(frozen=True)
+class GNWSFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with GroupNorm + Weight Standardization everywhere
+    (reference configs/gn+ws/faster_rcnn_r50_fpn_gn_ws-all_1x_coco.py:
+    ConvWS + GN(32) in backbone and FPN, Shared4Conv1FCBBoxHead RoI
+    head). weight_standardize=False gives the plain-GN 'gn' family."""
+
+    weight_standardize: bool = True
+
+    family = "gn_ws"
+
+
+@dataclass(frozen=True)
+class FPGFasterRCNNConfig(FasterRCNNConfig):
+    """Faster R-CNN with the Feature Pyramid Grids neck (reference
+    configs/fpg/faster_rcnn_r50_fpg_crop640_50e_coco.py +
+    mmdet/models/necks/fpg.py): 9 stacked bottom-up pathway stages over
+    a 5-level grid with lateral / same-up / across-down / skip
+    transitions (all act-conv-norm), staircase skip_inds."""
+
+    neck_type: str = "fpg"
+    fpg_stack_times: int = 9
+
+    family = "fpg"
 
 
 @dataclass(frozen=True)
@@ -1493,6 +1540,17 @@ class LDConfig(GFLConfig):
     def teacher_config(self) -> "LDConfig":
         return dataclasses.replace(
             self, block_counts=self.teacher_block_counts)
+
+
+@dataclass(frozen=True)
+class NASFCOSConfig(FCOSConfig):
+    """NAS-FCOS (reference configs/nas_fcos/
+    nas_fcos_nashead_r50_caffe_fpn_gn-head_4x4_1x_coco.py +
+    dense_heads/nasfcos_head.py + necks/nasfcos_fpn.py): the FCOS
+    criterion with the searched 7-ConcatCell FPN and the searched
+    "dconv3x3, conv3x3, dconv3x3, conv1x1" GN towers."""
+
+    family = "nas_fcos"
 
 
 @dataclass(frozen=True)
@@ -2561,6 +2619,30 @@ def tiny_mask_rcnn_config(**overrides) -> MaskRCNNConfig:
     return MaskRCNNConfig(**base)
 
 
+def tiny_seesaw_config(**overrides) -> SeesawMaskRCNNConfig:
+    """A shrunken seesaw-loss Mask R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        mask_convs=2,
+        mask_channels=8,
+        mask_size=14,
+        mask_roi_size=7,
+        gt_mask_raster=28,
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return SeesawMaskRCNNConfig(**base)
+
+
 def tiny_point_rend_config(**overrides) -> PointRendConfig:
     """A shrunken PointRend for fast CPU unit tests."""
     base = dict(
@@ -2711,6 +2793,23 @@ def tiny_fcos_config(**overrides) -> FCOSConfig:
     )
     base.update(overrides)
     return FCOSConfig(**base)
+
+
+def tiny_nasfcos_config(**overrides) -> NASFCOSConfig:
+    """A shrunken NAS-FCOS for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        feat_channels=16,
+        num_classes=6,
+        max_gt=8,
+        regress_ranges=((-1, 16), (16, 32), (32, 64), (64, 128), (128, 1e8)),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return NASFCOSConfig(**base)
 
 
 def tiny_vfnet_config(**overrides) -> VFNetConfig:
@@ -3212,6 +3311,45 @@ def tiny_cascade_config(**overrides) -> CascadeRCNNConfig:
     return CascadeRCNNConfig(**base)
 
 
+def tiny_gn_ws_config(**overrides) -> GNWSFasterRCNNConfig:
+    """A shrunken GN+WS Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return GNWSFasterRCNNConfig(**base)
+
+
+def tiny_fpg_config(**overrides) -> FPGFasterRCNNConfig:
+    """A shrunken FPG Faster R-CNN for fast CPU unit tests."""
+    base = dict(
+        canvas=(64, 128),
+        block_counts=(1, 1, 1, 1),
+        stem_width=8,
+        fpn_channels=16,
+        num_classes=6,
+        max_gt=8,
+        fpg_stack_times=5,
+        rpn=RPNCfg(train_nms_pre=256, train_max_per_img=64,
+                   test_nms_pre=256, test_max_per_img=64,
+                   sampler_num=64),
+        rcnn=RCNNCfg(sampler_num=32, fc_channels=32),
+        test=TestCfg(nms_pre=200, pre_nms_cands=128, max_per_img=20),
+    )
+    base.update(overrides)
+    return FPGFasterRCNNConfig(**base)
+
+
 def tiny_groie_config(**overrides) -> GRoIEFasterRCNNConfig:
     """A shrunken GRoIE Faster R-CNN for fast CPU unit tests."""
     base = dict(
@@ -3419,6 +3557,7 @@ ZOO_FAMILIES = {
     "double_head_rcnn": (DoubleHeadRCNNConfig, tiny_double_head_config),
     "cascade_rcnn": (CascadeRCNNConfig, tiny_cascade_config),
     "mask_rcnn": (MaskRCNNConfig, tiny_mask_rcnn_config),
+    "seesaw": (SeesawMaskRCNNConfig, tiny_seesaw_config),
     "mask_scoring_rcnn": (MaskScoringRCNNConfig, tiny_mask_scoring_config),
     "point_rend": (PointRendConfig, tiny_point_rend_config),
     "rpn": (RPNOnlyConfig, tiny_rpn_config),
@@ -3428,10 +3567,13 @@ ZOO_FAMILIES = {
     "hrnet": (HRNetFasterRCNNConfig, tiny_hrnet_config),
     "resnest": (ResNeStFasterRCNNConfig, tiny_resnest_config),
     "groie": (GRoIEFasterRCNNConfig, tiny_groie_config),
+    "fpg": (FPGFasterRCNNConfig, tiny_fpg_config),
+    "gn_ws": (GNWSFasterRCNNConfig, tiny_gn_ws_config),
     "empirical_attention": (EmpiricalAttentionConfig,
                             tiny_empirical_attention_config),
     "fast_rcnn": (FastRCNNConfig, tiny_fast_rcnn_config),
     "fcos": (FCOSConfig, tiny_fcos_config),
+    "nas_fcos": (NASFCOSConfig, tiny_nasfcos_config),
     "free_anchor": (FreeAnchorConfig, tiny_free_anchor_config),
     "ghm": (GHMConfig, tiny_ghm_config),
     "guided_anchor": (GARetinaNetConfig, tiny_ga_config),

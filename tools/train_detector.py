@@ -103,7 +103,7 @@ def build(family, mini, dtype):
 def make_steps(family, model, cfg, tx, teacher_ckpt=None):
     """Uniform step(state, batch, key) signature across families."""
     if family in ("faster_rcnn", "libra_rcnn", "pafpn", "carafe", "hrnet",
-                  "resnest", "groie", "empirical_attention"):
+                  "resnest", "groie", "empirical_attention", "fpg", "gn_ws"):
         from aod_meh_hua_tpu.engine.two_stage import make_faster_rcnn_train_step
 
         return make_faster_rcnn_train_step(model, cfg, tx)
@@ -121,6 +121,10 @@ def make_steps(family, model, cfg, tx, teacher_ckpt=None):
         from aod_meh_hua_tpu.engine.mask_rcnn import make_mask_rcnn_train_step
 
         return make_mask_rcnn_train_step(model, cfg, tx)
+    if family == "seesaw":
+        from aod_meh_hua_tpu.engine.seesaw import make_seesaw_train_step
+
+        return make_seesaw_train_step(model, cfg, tx)
     if family == "point_rend":
         from aod_meh_hua_tpu.engine.point_rend import \
             make_point_rend_train_step
@@ -236,7 +240,7 @@ def make_steps(family, model, cfg, tx, teacher_ckpt=None):
         from aod_meh_hua_tpu.engine.gfl import make_gfl_train_step
 
         inner = make_gfl_train_step(model, cfg, tx)
-    elif family == "fcos":
+    elif family in ("fcos", "nas_fcos"):
         from aod_meh_hua_tpu.engine.fcos import make_fcos_train_step
 
         inner = make_fcos_train_step(model, cfg, tx)
