@@ -83,6 +83,10 @@ def parse_args():
                     help="fast_rcnn: proposals for the VAL split "
                          "(data.test.proposal_file); defaults to "
                          "--proposal-file")
+    ap.add_argument("--dataset-type", default="coco",
+                    choices=["coco", "lvis"],
+                    help="JSON flavor for --coco-train/--coco-val: plain "
+                         "COCO or LVIS v1 (coco_url names, federated eval)")
     ap.add_argument("--teacher-ckpt", default=None,
                     help="ld: GFL teacher checkpoint (the reference's "
                          "teacher_ckpt, kd_one_stage.py); defaults to a "
@@ -374,24 +378,29 @@ def main():
         if args.voc07:
             raise SystemExit("--coco-train and --voc07 are mutually exclusive")
         from aod_meh_hua_tpu.data.coco import CocoDataset
+        from aod_meh_hua_tpu.data.lvis import LVISDataset, eval_lvis_map
         from aod_meh_hua_tpu.utils.coco_eval import eval_coco_map
 
+        ds_cls = LVISDataset if args.dataset_type == "lvis" else CocoDataset
         prefix = args.coco_img_prefix or os.path.dirname(args.coco_train)
-        train_set = CocoDataset(args.coco_train, prefix)
+        train_set = ds_cls(args.coco_train, prefix)
         # head width gates the label space: cap to the first num_classes
         # categories (json order) so tiny heads meet consistent labels
         if len(train_set.classes) > cfg.num_classes:
             classes = train_set.classes[: cfg.num_classes]
-            train_set = CocoDataset(args.coco_train, prefix, classes=classes)
+            train_set = ds_cls(args.coco_train, prefix, classes=classes)
         classes = train_set.classes
         val = None
         if not args.no_validate and args.coco_val:
-            val = CocoDataset(args.coco_val,
-                              args.coco_img_prefix_val or prefix,
-                              classes=classes, test_mode=True)
+            val = ds_cls(args.coco_val,
+                         args.coco_img_prefix_val or prefix,
+                         classes=classes, test_mode=True)
 
         def eval_fn(results, anns):
-            out = eval_coco_map(results, anns)
+            if args.dataset_type == "lvis":
+                out = eval_lvis_map(results, anns, val.eval_image_masks())
+            else:
+                out = eval_coco_map(results, anns)
             return {"mAP": out["mAP"], "mAP_50": out["mAP_50"],
                     "mAP_75": out["mAP_75"]}
     else:
