@@ -1,0 +1,226 @@
+"""Measured probe of the two VERDICT-r2 "untried" backbone levers:
+Pallas kernels and matmul layout orientation.
+
+The scoring forward runs at 65% of v5e bf16 peak with the R50 backbone
+at ~35% (docs/ARCHITECTURE.md). The hypothesized cause is the 64-wide
+bottleneck convs padding to the 128-lane MXU. This tool measures, on
+the real chip, instead of arguing:
+
+  1. --census: every distinct conv shape in R50@608x1024, timed
+     standalone (bf16, XLA), against its MXU-ideal time — so the slow
+     stage is identified per-op rather than inferred from stage sums.
+  2. --matmul: the C2-stage 1x1 conv (K=256 -> N=64) expressed four
+     ways: XLA conv, XLA matmul [M,256]@[256,64], XLA TRANSPOSED
+     matmul [64,256]@[256,M] (moves the 64 from the padded lane dim to
+     the 8/16-granular sublane dim), and a Pallas kernel of the
+     transposed form.
+
+Usage: python tools/analysis/pallas_probe.py [--census] [--matmul]
+       [--batch 32] [--iters 20]
+
+No reference counterpart (the reference inherits cuDNN autotuning);
+closest analog tools/analysis_tools/benchmark.py which times e2e only.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _chain_timed(fn, args, iters, warmup=3):
+    """Relay-safe timing: each iteration perturbs one small input with a
+    runtime-zero derived from the previous output and the final scalar
+    is fetched, so the async dispatch journal cannot under-report."""
+    import jax.numpy as jnp
+
+    def run(n):
+        a = list(args)
+        out = None
+        for _ in range(n):
+            out = fn(*a)
+            dep = jnp.where(jnp.isnan(jnp.sum(out)), 1.0, 0.0).astype(a[-1].dtype)
+            a[-1] = a[-1] + dep
+        return float(np.asarray(jnp.sum(out).astype(jnp.float32)))
+
+    run(warmup)
+    t0 = time.perf_counter()
+    s = run(iters)
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(s)
+    return dt
+
+
+def resnet50_conv_shapes(h=608, w=1024):
+    """(name, H, W, Cin, Cout, k, stride, count) for every distinct conv
+    in torchvision-layout R50 (models/resnet.py)."""
+    shapes = [("stem7x7", h, w, 3, 64, 7, 2, 1)]
+    ph, pw = h // 4, w // 4  # after stride-2 stem + stride-2 maxpool
+    stages = [  # (planes, blocks, in_ch, stride)
+        (64, 3, 64, 1), (128, 4, 256, 2), (256, 6, 512, 2), (512, 3, 1024, 2),
+    ]
+    for si, (planes, blocks, cin, stride) in enumerate(stages):
+        oh, ow = ph // stride, pw // stride
+        nm = f"C{si + 2}"
+        # first block (input at pre-stride spatial for conv1)
+        shapes += [
+            (f"{nm}.b0.conv1", ph, pw, cin, planes, 1, 1, 1),
+            (f"{nm}.b0.conv2", ph, pw, planes, planes, 3, stride, 1),
+            (f"{nm}.b0.conv3", oh, ow, planes, planes * 4, 1, 1, 1),
+            (f"{nm}.b0.down", ph, pw, cin, planes * 4, 1, stride, 1),
+        ]
+        if blocks > 1:  # identical remaining blocks, timed once x count
+            shapes += [
+                (f"{nm}.bN.conv1", oh, ow, planes * 4, planes, 1, 1, blocks - 1),
+                (f"{nm}.bN.conv2", oh, ow, planes, planes, 3, 1, blocks - 1),
+                (f"{nm}.bN.conv3", oh, ow, planes, planes * 4, 1, 1, blocks - 1),
+            ]
+        ph, pw = oh, ow
+    return shapes
+
+
+def census(args):
+    import jax
+    import jax.numpy as jnp
+
+    rows = []
+    rng = np.random.RandomState(0)
+    total_ms = total_ideal = 0.0
+    for name, h, w, cin, cout, k, stride, count in resnet50_conv_shapes():
+        b = args.batch
+        x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32) * 0.1,
+                        dtype=jnp.bfloat16)
+        wk = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32) * 0.01,
+                         dtype=jnp.bfloat16)
+        pad = ((k // 2, k // 2),) * 2
+
+        @jax.jit
+        def conv(x, wk):
+            return jax.lax.conv_general_dilated(
+                x, wk, (stride, stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+        dt = _chain_timed(conv, (x, wk), args.iters)
+        flops = 2 * b * (h // stride) * (w // stride) * k * k * cin * cout
+        ideal_ms = flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 1e3
+        rows.append({"op": name, "ms": round(dt * 1e3, 3),
+                     "ideal_ms": round(ideal_ms, 3),
+                     "pct_peak": round(100 * ideal_ms / (dt * 1e3), 1),
+                     "count": count})
+        total_ms += dt * 1e3 * count
+        total_ideal += ideal_ms * count
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"op": "TOTAL(weighted)", "ms": round(total_ms, 2),
+                      "ideal_ms": round(total_ideal, 2),
+                      "pct_peak": round(100 * total_ideal / total_ms, 1)}))
+
+
+def matmul_probe(args):
+    """The C2 1x1 conv four ways. M = batch * 152 * 256 spatial sites."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = args.batch
+    h, w, k, n = 152, 256, 256, 64
+    m = b * h * w
+    tm = 512
+    m = (m // tm) * tm
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32) * 0.1, jnp.bfloat16)
+    wt = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.02, jnp.bfloat16)
+    xt = jnp.asarray(np.ascontiguousarray(np.asarray(x).T))  # [K, M]
+    wtt = jnp.asarray(np.ascontiguousarray(np.asarray(wt).T))  # [N, K]
+    flops = 2 * m * k * n
+    out = {}
+
+    def report(tag, dt):
+        ms = dt * 1e3
+        out[tag] = {"ms": round(ms, 3),
+                    "pct_peak": round(100 * flops / (V5E_BF16_PEAK_TFLOPS * 1e12 * dt), 1)}
+        print(json.dumps({tag: out[tag]}), flush=True)
+
+    @jax.jit
+    def conv_form(xi, wi):  # NHWC 1x1 conv, the layout the backbone uses
+        return jax.lax.conv_general_dilated(
+            xi.reshape(b, h, w, k)[: (m // (h * w))], wi.reshape(1, 1, k, n),
+            (1, 1), ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @jax.jit
+    def plain(xi, wi):  # [M, K] @ [K, N] — N=64 on the 128-lane dim
+        return jnp.dot(xi, wi, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @jax.jit
+    def transposed(wi, xi):  # [N, K] @ [K, M] — 64 on the sublane dim
+        return jnp.dot(wi, xi, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def pallas_kernel(wt_ref, xt_ref, o_ref):
+        o_ref[:] = jnp.dot(wt_ref[:], xt_ref[:],
+                           preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    @jax.jit
+    def pallas_t(wi, xi):
+        return pl.pallas_call(
+            pallas_kernel,
+            interpret=bool(args.cpu),
+            out_shape=jax.ShapeDtypeStruct((n, m), jnp.bfloat16),
+            grid=(m // tm,),
+            in_specs=[
+                pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, tm), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=(k * m + n * k + n * m) * 2,
+                transcendentals=0),
+        )(wi, xi)
+
+    # numerical check of the pallas kernel (block-index semantics)
+    want = np.asarray(transposed(wtt, xt)).astype(np.float32)
+    got = np.asarray(pallas_t(wtt, xt)).astype(np.float32)
+    err = float(np.max(np.abs(want - got)))
+    print(json.dumps({"pallas_vs_xla_max_abs_err": err}), flush=True)
+    assert err < 1e-1, "pallas transposed matmul disagrees with XLA"
+
+    report("conv_1x1_nhwc", _chain_timed(conv_form, (x, wt), args.iters))
+    report("matmul_MK_KN", _chain_timed(plain, (x, wt), args.iters))
+    report("matmul_NK_KM_transposed", _chain_timed(transposed, (wtt, xt), args.iters))
+    report("pallas_NK_KM_transposed", _chain_timed(pallas_t, (wtt, xt), args.iters))
+    print(json.dumps(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--census", action="store_true")
+    ap.add_argument("--matmul", action="store_true")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU + pallas interpret semantics (plumbing check)")
+    args = ap.parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    if not (args.census or args.matmul):
+        args.census = args.matmul = True
+    if args.matmul:
+        matmul_probe(args)
+    if args.census:
+        census(args)
+
+
+if __name__ == "__main__":
+    main()
