@@ -12,7 +12,9 @@ Behavioral parity targets (reference, /root/reference):
   utils/coco_eval.py: for category c, ONLY images where c is
   positively annotated or listed in neg_category_ids count — dets of c
   on any other image are neither TP nor FP, and gts elsewhere don't
-  exist by construction.
+  exist by construction. On images where c is annotated but listed in
+  not_exhaustive_category_ids, unmatched dets of c are IGNORED rather
+  than FPs (LVISEval's img_nel -> dt_ig rule; see eval_lvis_map).
 """
 
 from __future__ import annotations
@@ -54,12 +56,33 @@ class LVISDataset(CocoDataset):
                     mask[c, i] = True
         return mask
 
+    def nel_image_masks(self) -> np.ndarray:
+        """[num_classes, num_images] bool: class c is annotated on the
+        image but NOT exhaustively (not_exhaustive_category_ids) — on
+        such cells LVISEval ignores unmatched detections instead of
+        counting them as false positives (dt_ig via img_nel)."""
+        n_cls, n_img = len(self.classes), len(self.img_ids)
+        mask = np.zeros((n_cls, n_img), bool)
+        for i, img_id in enumerate(self.img_ids):
+            for cid in self._imgs[img_id].get("not_exhaustive_category_ids", ()):
+                if cid in self.cat2label:
+                    mask[self.cat2label[cid], i] = True
+        return mask
+
 
 def eval_lvis_map(det_results: List[List[np.ndarray]],
                   annotations: List[Dict[str, np.ndarray]],
-                  eval_masks: np.ndarray) -> Dict:
+                  eval_masks: np.ndarray,
+                  nel_masks: np.ndarray = None) -> Dict:
     """Federated COCO-style mAP: blank out (class, image) cells that
-    are not evaluable for that class, then run the standard protocol."""
+    are not evaluable for that class, then run the standard protocol.
+
+    `nel_masks` (LVISDataset.nel_image_masks) marks cells where the
+    class is annotated but not exhaustively: LVISEval ignores unmatched
+    detections there (img_nel -> dt_ig). Reproduced by appending a
+    whole-image crowd/ignore box of that class — dets first try real
+    gts (TP), and only unmatched ones fall back to the ignore region
+    (IoF = 1) and drop out of the PR curve, exactly the dt_ig rule."""
     from ..utils.coco_eval import eval_coco_map
 
     masked = []
@@ -69,8 +92,26 @@ def eval_lvis_map(det_results: List[List[np.ndarray]],
             row.append(d if eval_masks[c, i]
                        else np.zeros((0, 5), np.float32))
         masked.append(row)
+    anns = annotations
+    if nel_masks is not None and nel_masks.any():
+        huge = np.array([0.0, 0.0, 1e8, 1e8], np.float32)  # contains any det
+        anns = []
+        for i, ann in enumerate(annotations):
+            cs = np.nonzero(nel_masks[:, i])[0]
+            if len(cs) == 0:
+                anns.append(ann)
+                continue
+            ig_b = ann.get("bboxes_ignore")
+            ig_l = ann.get("labels_ignore")
+            ig_b = ig_b.reshape(-1, 4) if ig_b is not None else np.zeros((0, 4), np.float32)
+            ig_l = ig_l if ig_l is not None else np.zeros((0,), np.int64)
+            ann = dict(ann)
+            ann["bboxes_ignore"] = np.concatenate(
+                [ig_b, np.tile(huge, (len(cs), 1))]).astype(np.float32)
+            ann["labels_ignore"] = np.concatenate([ig_l, cs]).astype(ig_l.dtype)
+            anns.append(ann)
     # gts of class c only exist on images where c is annotated, which
     # the mask includes by construction — annotations pass unchanged
-    out = eval_coco_map(masked, annotations)
+    out = eval_coco_map(masked, anns)
     out["federated"] = True
     return out

@@ -73,7 +73,12 @@ def make_gfl_loss_fn(model, cfg):
         in_axes=(None, 0, 0, 0, 0))
     rm = cfg.reg_max
 
-    def loss_fn(params, batch_stats, batch: Batch, anchors, strides):
+    def loss_fn(params, batch_stats, batch: Batch, anchors, strides,
+                return_outputs: bool = False):
+        """With return_outputs=True (static), also returns
+        (cls_scores, dist_logits, pos, w) so wrappers like the LD
+        distillation step (engine/ld.py) reuse this criterion's forward
+        pass and ATSS assignment instead of re-tracing both."""
         variables = {"params": params, "batch_stats": batch_stats}
         images = prepare_images(batch.images, batch.img_shapes, cfg)
         cls_scores, dist_logits = model.apply(variables, images)
@@ -117,6 +122,8 @@ def make_gfl_loss_fn(model, cfg):
         total = loss_qfl + loss_bbox + loss_dfl
         aux = {"loss": total, "loss_cls": loss_qfl, "loss_bbox": loss_bbox,
                "loss_dfl": loss_dfl, "num_pos": num_pos}
+        if return_outputs:
+            return total, aux, (cls_scores, dist_logits, pos, w)
         return total, aux
 
     return loss_fn, anchors_host, strides_host

@@ -43,39 +43,22 @@ def make_ld_train_step(model, cfg, tx, teacher_model, teacher_cfg,
                        teacher_variables) -> Callable:
     """Student GFL train step + LD distillation from a frozen teacher.
 
-    The student loss reuses engine/gfl.py's criterion verbatim; the LD
-    term recomputes the positive mask from the same ATSS targets."""
-    import functools
-
-    import numpy as np
-
-    from ..ops.assigner import atss_assign
-    from .gfl import _anchor_strides
-
+    The student loss reuses engine/gfl.py's criterion verbatim,
+    including its forward pass, positive mask, and detached
+    max-joint-score weights (return_outputs=True) — only the teacher
+    forward and the KL term are added on top."""
     gfl_loss_fn, anchors_host, strides_host = make_gfl_loss_fn(model, cfg)
-    bounds = tuple(cfg.level_bounds())
     rm = cfg.reg_max
 
     def ld_loss(params, batch_stats, batch: Batch, anchors, strides,
                 teacher_vars):
-        total, aux = gfl_loss_fn(params, batch_stats, batch, anchors,
-                                 strides)
-        variables = {"params": params, "batch_stats": batch_stats}
-        images = prepare_images(batch.images, batch.img_shapes, cfg)
-        cls_scores, dist_logits = model.apply(variables, images)
+        total, aux, (cls_scores, dist_logits, pos, w) = gfl_loss_fn(
+            params, batch_stats, batch, anchors, strides,
+            return_outputs=True)
         t_images = prepare_images(batch.images, batch.img_shapes,
                                   teacher_cfg)
         _, soft_logits = teacher_model.apply(
             jax.lax.stop_gradient(teacher_vars), t_images)
-
-        assigned = jax.vmap(
-            lambda gb, gv, av: atss_assign(anchors, bounds, gb, gv,
-                                           topk=cfg.atss_topk,
-                                           anchor_valid=av))(
-            batch.gt_boxes, batch.gt_valid, batch.anchor_valid)
-        pos = assigned > 0                                   # [B, A]
-        w = jnp.where(pos, jax.lax.stop_gradient(
-            jax.nn.sigmoid(cls_scores).max(axis=-1)), 0.0)   # [B, A]
 
         pred = dist_logits.reshape(dist_logits.shape[:2] + (4, rm + 1))
         soft = soft_logits.reshape(soft_logits.shape[:2] + (4, rm + 1))

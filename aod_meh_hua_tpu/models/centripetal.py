@@ -64,8 +64,12 @@ class CentripetalNet(nn.Module):
                     kernel_init=nn.initializers.normal(0.1),
                     dtype=jnp.float32, name=f"{tag}_dcn_off{i}")(
                     jax.lax.stop_gradient(guide.astype(jnp.float32)))
-                adapted = nn.relu(DeformConv3x3Explicit(
-                    ch, dtype=dtype, name=f"{tag}_adaption{i}")(p, dcn_off))
+                # raw deform-conv output, no activation: the reference's
+                # feat_adaption (DeformConv2d, centripetal_head.py:188-196)
+                # feeds the shift branch with signed features — the
+                # branch's own ConvModule relu is the only nonlinearity
+                adapted = DeformConv3x3Explicit(
+                    ch, dtype=dtype, name=f"{tag}_adaption{i}")(p, dcn_off)
                 cent = _Branch(2, ch, dtype=dtype,
                                name=f"{tag}_cent{i}")(adapted)
                 per.append((heat, off, guide, cent))

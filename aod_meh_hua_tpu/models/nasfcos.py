@@ -54,8 +54,13 @@ def _resize_to(x, hw):
 
 
 class ConcatCell(nn.Module):
-    """mmcv ConcatCell: resize to the larger input, optional DCNv2+BN+
-    ReLU input convs, concat, BN -> ReLU -> grouped 1x1 out conv."""
+    """mmcv ConcatCell: optional DCNv2+BN+ReLU input convs at each
+    input's NATIVE resolution, then resize both to the larger size,
+    concat, BN -> ReLU -> grouped 1x1 out conv. Conv-before-resize
+    matches BaseMergeCell.forward (input1_conv/input2_conv run before
+    _resize) — convolving the native map and nearest-upsampling is both
+    the reference behavior and up to 16x fewer DCN FLOPs per coarse
+    input than convolving the blown-up map."""
 
     channels: int
     with_input1_conv: bool = True
@@ -65,8 +70,6 @@ class ConcatCell(nn.Module):
     @nn.compact
     def __call__(self, x1, x2):
         hw = (max(x1.shape[1], x2.shape[1]), max(x1.shape[2], x2.shape[2]))
-        x1 = _resize_to(x1, hw)
-        x2 = _resize_to(x2, hw)
 
         def in_conv(v, name):
             v = DeformableConv3x3(self.channels, modulated=True,
@@ -78,6 +81,8 @@ class ConcatCell(nn.Module):
             x1 = in_conv(x1, "in1")
         if self.with_input2_conv:
             x2 = in_conv(x2, "in2")
+        x1 = _resize_to(x1, hw)
+        x2 = _resize_to(x2, hw)
         y = jnp.concatenate([x1, x2], axis=-1)
         y = nn.relu(_bn(self.dtype, "out_bn")(y))
         return nn.Conv(self.channels, (1, 1), use_bias=False,

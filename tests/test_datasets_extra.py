@@ -29,6 +29,9 @@ def _lvis_json(path):
                  area=400, iscrowd=0),
             dict(id=2, image_id=2, category_id=3, bbox=[10, 10, 12, 12],
                  area=144, iscrowd=0),
+            # cat 1 on image 2 is annotated but NOT exhaustively
+            dict(id=3, image_id=2, category_id=1, bbox=[30, 10, 10, 10],
+                 area=100, iscrowd=0),
         ],
         categories=[dict(id=1, name="aerosol_can"),
                     dict(id=2, name="air_conditioner"),
@@ -48,9 +51,12 @@ def test_lvis_dataset_and_federated_mask(tmp_path):
     # file name from coco_url (lvis.py:731-735)
     assert ds.img_path(0).endswith("val2017/0001.jpg")
     mask = ds.eval_image_masks()
-    # img 1: class 0 positive, class 1 negative list; img 2: class 2 pos
+    # img 1: class 0 positive, class 1 negative list; img 2: classes 0+2 pos
     assert mask[0, 0] and mask[1, 0] and not mask[2, 0]
-    assert not mask[0, 1] and not mask[1, 1] and mask[2, 1]
+    assert mask[0, 1] and not mask[1, 1] and mask[2, 1]
+    nel = ds.nel_image_masks()
+    # only (class 0, img 2) is annotated-but-not-exhaustive
+    assert nel[0, 1] and not nel[0, 0] and not nel[2, 1]
 
     anns = [ds.get_ann_info(i) for i in range(2)]
     # a wrong 'airplane' det on image 1 (not evaluable there) must NOT
@@ -58,15 +64,24 @@ def test_lvis_dataset_and_federated_mask(tmp_path):
     gt_det = np.array([[4, 4, 24, 24, 0.9]], np.float32)
     bad = np.array([[0, 0, 30, 30, 0.95]], np.float32)
     z = np.zeros((0, 5), np.float32)
-    dets = [[gt_det, z, bad], [z, z,
+    # img 2 class 0: one det matching ann id=3, one UNMATCHED det ranked
+    # ABOVE the true positives (so it would dent interpolated AP as an
+    # FP) — on a not-exhaustive cell LVISEval ignores it (dt_ig)
+    c0_img2 = np.array([[30, 10, 40, 20, 0.85], [2, 30, 12, 38, 0.95]],
+                       np.float32)
+    dets = [[gt_det, z, bad], [c0_img2, z,
                                np.array([[10, 10, 22, 22, 0.8]], np.float32)]]
-    fed = eval_lvis_map(dets, anns, mask)
+    fed = eval_lvis_map(dets, anns, mask, nel_masks=nel)
     assert fed["federated"]
     from aod_meh_hua_tpu.utils.coco_eval import eval_coco_map
 
     plain = eval_coco_map(dets, anns)
     assert fed["mAP"] > plain["mAP"]
     assert fed["per_class"][2]["ap"] == 1.0  # the FP was masked out
+    # the unmatched class-0 det on the nel cell was ignored, not an FP
+    assert fed["per_class"][0]["ap"] == 1.0
+    no_nel = eval_lvis_map(dets, anns, mask)
+    assert no_nel["per_class"][0]["ap"] < 1.0
 
 
 def test_wider_face_paths(tmp_path):

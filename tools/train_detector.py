@@ -398,7 +398,8 @@ def main():
 
         def eval_fn(results, anns):
             if args.dataset_type == "lvis":
-                out = eval_lvis_map(results, anns, val.eval_image_masks())
+                out = eval_lvis_map(results, anns, val.eval_image_masks(),
+                                    nel_masks=val.nel_image_masks())
             else:
                 out = eval_coco_map(results, anns)
             return {"mAP": out["mAP"], "mAP_50": out["mAP_50"],
