@@ -248,6 +248,121 @@ class Detector:
         dets = self._step(s["orientation"])(self.variables, batch)
         return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
 
+    def tta(self, image: Union[str, np.ndarray],
+            scales: Optional[Sequence] = None,
+            flip: bool = True) -> List[np.ndarray]:
+        """Test-time-augmented inference (MultiScaleFlipAug + aug_test,
+        reference datasets/pipelines/test_time_aug.py:10 +
+        dense_test_mixins.py:71): one candidate pass per (scale, flip),
+        candidates mapped back to original coordinates, merged through
+        ONE NMS. Returns per-class [k, 5] arrays like __call__."""
+        import dataclasses
+
+        from .engine.tta import (canvas_for_scale, make_tta_candidate_step,
+                                 make_tta_merge_step)
+
+        img = load_image(image) if isinstance(image, str) else image
+        scales = [tuple(s) for s in (scales or [self.pipeline.img_scale])]
+        flips = [False, True] if flip else [False]
+        fam = _family(self.cfg)
+        if fam == "faster_rcnn":
+            return self._tta_two_stage(img, scales, flips)
+        if fam not in ("retinanet", "ssd"):
+            raise NotImplementedError(
+                f"TTA is implemented for the dense MEH families and "
+                f"faster_rcnn (reference aug_test coverage); got {fam!r}")
+        if not hasattr(self, "_tta_steps"):
+            self._tta_steps, self._tta_merge = {}, {}
+        aug_boxes, aug_scores = [], []
+        for scale in scales:
+            canvas = (canvas_for_scale(scale) if self.pipeline.keep_ratio
+                      else (min(scale), max(scale)))
+            pipe = dataclasses.replace(self.pipeline, img_scale=scale,
+                                       canvas=canvas)
+            for f in flips:
+                s = prepare_sample(img, None, pipe, flip=f)
+                key = (scale, s["orientation"])
+                if key not in self._tta_steps:
+                    if _family(self.cfg) == "ssd":
+                        cfg_s = dataclasses.replace(
+                            self.cfg, input_size=max(scale))
+                    else:
+                        cfg_s = dataclasses.replace(self.cfg, canvas=canvas)
+                    self._tta_steps[key] = make_tta_candidate_step(
+                        self.model, cfg_s.for_orientation(s["orientation"]))
+                batch = EvalBatch(
+                    s["image"][None], s["img_shape"][None],
+                    s["scale_factor"][None], np.ones(1, bool),
+                )
+                b, sc = self._tta_steps[key](
+                    self.variables, batch, np.array([f], bool))
+                aug_boxes.append(np.asarray(b))
+                aug_scores.append(np.asarray(sc))
+        boxes = np.concatenate(aug_boxes, axis=1)
+        scores = np.concatenate(aug_scores, axis=1)
+        mkey = boxes.shape[1]  # one merge program per total candidate count
+        if mkey not in self._tta_merge:
+            self._tta_merge[mkey] = make_tta_merge_step(self.cfg)
+        dets = self._tta_merge[mkey](boxes, scores)
+        return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
+
+    def _tta_two_stage(self, img: np.ndarray, scales, flips) -> List[np.ndarray]:
+        """Two-stage TTA (reference two_stage.py:184 aug_test →
+        aug_test_rpn + merge_aug_proposals + RoI aug_test_bboxes): RPN
+        per aug → merged proposal set in original coords → RoI refine
+        per aug on the SHARED proposals → mean boxes/scores → one NMS."""
+        import dataclasses
+
+        from .engine.tta import (canvas_for_scale, make_tta_proposal_merge,
+                                 make_tta_roi_step, make_tta_rpn_step,
+                                 make_tta_two_stage_merge)
+
+        if not hasattr(self, "_tta2_steps"):
+            self._tta2_steps = {}
+            self._tta2_pmerge = make_tta_proposal_merge(self.cfg)
+            self._tta2_merge = make_tta_two_stage_merge(self.cfg)
+
+        aug_runs = []  # (steps_key, batch, flipped)
+        for scale in scales:
+            canvas = (canvas_for_scale(scale) if self.pipeline.keep_ratio
+                      else (min(scale), max(scale)))
+            pipe = dataclasses.replace(self.pipeline, img_scale=scale,
+                                       canvas=canvas)
+            for f in flips:
+                s = prepare_sample(img, None, pipe, flip=f)
+                key = (scale, s["orientation"])
+                if key not in self._tta2_steps:
+                    cfg_s = dataclasses.replace(self.cfg, canvas=canvas) \
+                        .for_orientation(s["orientation"])
+                    self._tta2_steps[key] = (
+                        make_tta_rpn_step(self.model, cfg_s),
+                        make_tta_roi_step(self.model, cfg_s))
+                batch = EvalBatch(
+                    s["image"][None], s["img_shape"][None],
+                    s["scale_factor"][None], np.ones(1, bool),
+                )
+                aug_runs.append((key, batch, np.array([f], bool)))
+
+        # stage 1: RPN per aug (feats stay on device for stage 2)
+        stage1 = [self._tta2_steps[k][0](self.variables, b, fl)
+                  for k, b, fl in aug_runs]
+        all_props = np.concatenate([np.asarray(p) for _, p, _, _ in stage1], axis=1)
+        all_scores = np.concatenate([np.asarray(s) for _, _, s, _ in stage1], axis=1)
+        all_valid = np.concatenate([np.asarray(v) for _, _, _, v in stage1], axis=1)
+        merged, merged_valid = self._tta2_pmerge(all_props, all_scores,
+                                                 all_valid)
+
+        # stage 2: RoI refine per aug on the shared merged proposals
+        boxes, probs = [], []
+        for (k, b, fl), (feats, _, _, _) in zip(aug_runs, stage1):
+            bx, pr = self._tta2_steps[k][1](self.variables, feats, b, fl,
+                                            merged, merged_valid)
+            boxes.append(np.asarray(bx))
+            probs.append(np.asarray(pr))
+        dets = self._tta2_merge(np.stack(boxes), np.stack(probs),
+                                np.asarray(merged_valid))
+        return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
+
     def predict_batch(self, images: Sequence[Union[str, np.ndarray]],
                       max_batch: int = 8) -> List[List[np.ndarray]]:
         """Batched inference for serving: group by orientation, pad each

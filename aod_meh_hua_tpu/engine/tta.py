@@ -1,0 +1,202 @@
+"""Test-time augmentation: multi-scale + flip inference with merged NMS.
+
+Behavioral parity target (reference, /root/reference):
+* mmdet/datasets/pipelines/test_time_aug.py:10 (MultiScaleFlipAug — one
+  pipeline replay per (scale, flip)),
+* mmdet/models/dense_heads/dense_test_mixins.py:71-143 (aug_test_bboxes:
+  per aug get_bboxes(with_nms=False) candidates -> bbox_mapping_back
+  (undo flip in the aug image frame, then divide by scale_factor) ->
+  concat across augs -> ONE multiclass_nms),
+* mmdet/models/detectors/single_stage.py:81 (aug_test entry).
+
+TPU-native shape discipline: each (scale, orientation) pair is its own
+fixed-canvas jitted candidate program (flip rides as a traced batch
+input — no extra compile for flipped augs); the merge is one jitted
+batched NMS over the fixed-size concatenation. Deviation (documented):
+the merged set is pre-filtered to the top `test.pre_nms_cands` by max
+class score before the quadratic NMS — the same fixed-shape cap the
+single-aug eval path applies.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import batched_multiclass_nms
+from .batch import ConstArg, EvalBatch, prepare_images
+from .postprocess import make_candidate_selector
+
+
+def make_tta_candidate_step(model, cfg):
+    """One aug's candidates, mapped back to ORIGINAL image coordinates.
+
+    Returned step: (variables, batch: EvalBatch, flipped [B] bool) ->
+    (boxes [B, K, 4] original coords, scores [B, K, C_fg]).
+    """
+    select, anchors_host = make_candidate_selector(cfg)
+
+    def cand_step(variables, batch: EvalBatch, flipped, anchors):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        cls_scores, bbox_preds, _ = model.apply(variables, images, with_meh=False)
+        cand = select(anchors, cls_scores, bbox_preds, None, batch.img_shapes)
+        boxes = cand.boxes
+        # bbox_mapping_back (reference core/bbox/transforms.py): undo the
+        # horizontal flip in the AUG image frame (width = resized width),
+        # then rescale to original coordinates.
+        w = batch.img_shapes[:, 1].astype(boxes.dtype)[:, None]
+        fb = jnp.stack(
+            [w - boxes[..., 2], boxes[..., 1], w - boxes[..., 0], boxes[..., 3]],
+            axis=-1,
+        )
+        boxes = jnp.where(flipped[:, None, None], fb, boxes)
+        boxes = boxes / batch.scale_factors[:, None, :]
+        return boxes, cand.scores[..., : cfg.num_fg_classes]
+
+    jfn = jax.jit(cand_step)
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(variables, batch: EvalBatch, flipped):
+        return jfn(variables, batch, flipped, anchors_arg.get(batch.images))
+
+    return step
+
+
+def make_tta_merge_step(cfg):
+    """Merged NMS over the aug-concatenated candidate set
+    (dense_test_mixins.py:121-131): boxes [B, A*K, 4], scores
+    [B, A*K, C_fg] -> NMSResult in original image coordinates."""
+    t = cfg.test
+
+    @jax.jit
+    def merge(boxes: jnp.ndarray, scores: jnp.ndarray):
+        return batched_multiclass_nms(
+            boxes, scores, t.score_thr, t.nms_iou_thr, t.max_per_img,
+            min(boxes.shape[1], t.pre_nms_cands),
+            getattr(t, "fast_topk", False),
+        )
+
+    return merge
+
+
+def _flip_x(boxes: jnp.ndarray, flipped: jnp.ndarray, width: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal flip of [..., 4] boxes where flipped[b] (the mapping is
+    its own inverse). width: [B] image width in the boxes' frame."""
+    w = width.astype(boxes.dtype).reshape((-1,) + (1,) * (boxes.ndim - 2))
+    fb = jnp.stack([w - boxes[..., 2], boxes[..., 1],
+                    w - boxes[..., 0], boxes[..., 3]], axis=-1)
+    cond = flipped.reshape((-1,) + (1,) * (boxes.ndim - 1))
+    return jnp.where(cond, fb, boxes)
+
+
+def make_tta_rpn_step(model, cfg):
+    """Two-stage TTA stage 1 (aug_test_rpn half): one aug's RPN proposals
+    mapped back to ORIGINAL coordinates, plus the backbone features for
+    reuse by the RoI stage (the reference extracts feats once per aug,
+    two_stage.py:184-199).
+
+    step(variables, batch, flipped) -> (feats, props [B, P, 4] original
+    coords, scores [B, P], prop_valid [B, P])."""
+    from .two_stage import _stage1, make_proposal_fn
+
+    import numpy as np
+
+    gen = cfg.build_anchor_generator()
+    anchors_host = np.concatenate(
+        gen.grid_anchors(cfg.featmap_sizes())).astype(np.float32)
+    proposal_fn = make_proposal_fn(cfg)
+
+    def fn(variables, batch: EvalBatch, flipped, anchors):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        feats, rpn_cls, rpn_reg = model.apply(variables, images, method=_stage1)
+        props, scores, prop_valid = proposal_fn(
+            rpn_cls, rpn_reg, anchors, batch.img_shapes,
+            cfg.rpn.test_nms_pre, cfg.rpn.test_max_per_img)
+        props = _flip_x(props, flipped, batch.img_shapes[:, 1])
+        props = props / batch.scale_factors[:, None, :]
+        return feats, props, scores, prop_valid
+
+    jfn = jax.jit(fn)
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(variables, batch: EvalBatch, flipped):
+        return jfn(variables, batch, flipped, anchors_arg.get(batch.images))
+
+    return step
+
+
+def make_tta_proposal_merge(cfg):
+    """merge_aug_proposals (core/post_processing/merge_augs.py:14): NMS
+    the aug-concatenated proposals in original coordinates, keep the RPN
+    test budget. boxes [B, A*P, 4], scores/valid [B, A*P]."""
+
+    @jax.jit
+    def merge(boxes, scores, valid):
+        s = (scores * valid)[..., None]  # class-agnostic: C = 1
+        res = batched_multiclass_nms(
+            boxes, s, 0.0, cfg.rpn.nms_iou_thr, cfg.rpn.test_max_per_img,
+            min(boxes.shape[1], cfg.rpn.test_nms_pre))
+        return res.boxes, res.valid
+
+    return merge
+
+
+def make_tta_roi_step(model, cfg):
+    """Two-stage TTA stage 2 (test_mixins.py:116-143 aug_test_bboxes
+    body): map the MERGED original-coord proposals into this aug's
+    frame (bbox_mapping = scale then flip), run the RoI head on the
+    aug's features, decode, and map the per-class boxes back to
+    original coordinates. No NMS here — the caller averages across
+    augs first.
+
+    step(variables, feats, batch, flipped, props_orig, prop_valid) ->
+    (boxes [B, P, C, 4] original coords, probs [B, P, C+1])."""
+    from ..ops.bbox import delta_decode
+    from .two_stage import _extract_rois, _roi
+
+    c = cfg.num_classes
+
+    def fn(variables, feats, batch: EvalBatch, flipped, props_orig, prop_valid):
+        props = props_orig * batch.scale_factors[:, None, :]
+        props = _flip_x(props, flipped, batch.img_shapes[:, 1])
+        roi_feats = _extract_rois(cfg, feats, props)
+        cls, reg = model.apply(variables, roi_feats, method=_roi)
+        b, p = props.shape[:2]
+        probs = jax.nn.softmax(cls, axis=-1).reshape(b, p, c + 1)
+        boxes = delta_decode(
+            props[:, :, None, :], reg.reshape(b, p, c, 4),
+            stds=cfg.rcnn.target_stds, max_shape=batch.img_shapes[:, None, :])
+        boxes = _flip_x(boxes, flipped, batch.img_shapes[:, 1])
+        boxes = boxes / batch.scale_factors[:, None, None, :]
+        return boxes, probs
+
+    return jax.jit(fn)
+
+
+def make_tta_two_stage_merge(cfg):
+    """merge_aug_bboxes (core/post_processing/merge_augs.py:83) + final
+    multiclass NMS: MEAN the per-aug recovered boxes/scores over the
+    shared proposal set, then one NMS. boxes [A, B, P, C, 4],
+    probs [A, B, P, C+1], prop_valid [B, P]."""
+    t = cfg.test
+    c = cfg.num_classes
+
+    @jax.jit
+    def merge(boxes, probs, prop_valid):
+        fg = probs.mean(axis=0)[..., :c] * prop_valid[..., None]
+        return batched_multiclass_nms(
+            boxes.mean(axis=0), fg, t.score_thr, t.nms_iou_thr,
+            t.max_per_img, min(fg.shape[1], t.pre_nms_cands))
+
+    return merge
+
+
+def canvas_for_scale(img_scale: Tuple[int, int]) -> Tuple[int, int]:
+    """Landscape (H, W) canvas bounding every keep_ratio resize to
+    img_scale=(long, short), /32-padded — the rule behind the live
+    config's (1000, 600) -> (608, 1024)."""
+    long_e, short_e = max(img_scale), min(img_scale)
+    pad = lambda v: int((v + 31) // 32 * 32)
+    return (pad(short_e), pad(long_e))
