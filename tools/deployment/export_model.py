@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default="detector_export.bin")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--mini", action="store_true",
+                    help="tiny model geometry (smoke/test mode)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +49,12 @@ def main():
     jexport.register_namedtuple_serialization(
         MaskDetections, serialized_name="aod_meh_hua_tpu.MaskDetections")
 
-    if args.family == "retinanet":
+    if args.mini:
+        from aod_meh_hua_tpu.utils.config import tiny_test_config
+
+        assert args.family == "retinanet", "--mini is the retinanet smoke mode"
+        cfg = tiny_test_config()
+    elif args.family == "retinanet":
         cfg = RetinaNetConfig()
     elif args.family == "ssd":
         cfg = SSDConfig()
