@@ -15,6 +15,7 @@ from .coco import CocoDataset, COCO_CLASSES
 from .lvis import LVISDataset, eval_lvis_map
 from .extra_datasets import (DEEPFASHION_CLASSES, DeepFashionDataset,
                              WIDERFaceDataset)
+from .wrappers import ClassBalancedDataset
 from .splits import (init_split, init_split_all, init_split_disjoint,
                      init_split_double, update_labeled_set,
                      update_labeled_set_plain, update_labeled_set_reselect,

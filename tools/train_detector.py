@@ -83,6 +83,10 @@ def parse_args():
                     help="fast_rcnn: proposals for the VAL split "
                          "(data.test.proposal_file); defaults to "
                          "--proposal-file")
+    ap.add_argument("--oversample-thr", type=float, default=None,
+                    help="ClassBalancedDataset repeat-factor threshold "
+                         "(reference dataset_wrappers.py; LVIS configs "
+                         "use 1e-3)")
     ap.add_argument("--dataset-type", default="coco",
                     choices=["coco", "lvis"],
                     help="JSON flavor for --coco-train/--coco-val: plain "
@@ -390,6 +394,11 @@ def main():
             classes = train_set.classes[: cfg.num_classes]
             train_set = ds_cls(args.coco_train, prefix, classes=classes)
         classes = train_set.classes
+        if args.oversample_thr:
+            # LVIS-style repeat-factor sampling (ClassBalancedDataset)
+            from aod_meh_hua_tpu.data import ClassBalancedDataset
+
+            train_set = ClassBalancedDataset(train_set, args.oversample_thr)
         val = None
         if not args.no_validate and args.coco_val:
             val = ds_cls(args.coco_val,
