@@ -143,6 +143,10 @@ class CocoDataset:
                 masks.append([p for p in seg if len(p) >= 6]
                              if isinstance(seg, list) else [])
         ann = dict(
+            # width/height ride along for mask rasterization at eval
+            # (segm mAP pastes dets + gt polygons at image resolution)
+            width=W,
+            height=H,
             masks=masks,
             bboxes=(np.array(bboxes, np.float32).reshape(-1, 4)
                     if bboxes else np.zeros((0, 4), np.float32)),

@@ -73,3 +73,28 @@ def detections_to_per_class(dets, num_classes: int, batch_valid=None) -> List[Li
             )
         out.append(per_cls)
     return out
+
+
+def mask_detections_to_per_class(dets, num_classes: int, batch_valid=None):
+    """Device MaskDetections -> the reference's (bbox_results,
+    segm_results) pair (mmdet two_stage.py simple_test with masks):
+    per image, per class ([k, 5] boxes, [k, s, s] box-aligned sigmoid
+    mask probs), rows aligned. Feed the pair to
+    utils.coco_eval.eval_coco_map(det_masks=...) for segm mAP."""
+    results = detections_to_per_class(dets, num_classes, batch_valid)
+    masks = np.asarray(dets.masks)
+    labels = np.asarray(dets.labels)
+    valid = np.asarray(dets.valid)
+    out_masks = []
+    row = 0
+    for i in range(masks.shape[0]):
+        if batch_valid is not None and not batch_valid[i]:
+            continue
+        per_cls = []
+        for c in range(num_classes):
+            m = valid[i] & (labels[i] == c)
+            per_cls.append(masks[i][m].astype(np.float32))
+            assert len(per_cls[-1]) == len(results[row][c])
+        out_masks.append(per_cls)
+        row += 1
+    return results, out_masks

@@ -40,7 +40,10 @@ def make_coco(root, n=6, seed=0, n_classes=3):
             annotations.append({
                 "id": aid, "image_id": 100 + i,
                 "category_id": cats[rng.randint(n_classes)]["id"],
-                "bbox": [x1, y1, bw, bh], "area": bw * bh, "iscrowd": 0})
+                "bbox": [x1, y1, bw, bh], "area": bw * bh, "iscrowd": 0,
+                # box-shaped instance polygon (segm eval support)
+                "segmentation": [[x1, y1, x1 + bw, y1, x1 + bw, y1 + bh,
+                                  x1, y1 + bh]]})
             aid += 1
     # image 0 extras: a crowd box, a degenerate box, an unknown category
     annotations += [
@@ -192,3 +195,119 @@ def test_train_detector_coco_cli(coco, tmp_path):
                      .splitlines()[0])
     assert np.isfinite(row["loss"])
     assert "mAP" in row and "mAP_50" in row and "mAP_75" in row
+
+
+# ---------------------------------------------------------------- segm
+
+
+def test_np_mask_overlaps_hand_math():
+    from aod_meh_hua_tpu.utils.coco_eval import np_mask_overlaps
+
+    a = np.zeros((1, 8, 8), bool)
+    a[0, :, :4] = True          # left half, 32 px
+    b = np.zeros((2, 8, 8), bool)
+    b[0] = True                 # full image, 64 px
+    b[1, :, 2:6] = True         # middle band, 32 px
+    iou = np_mask_overlaps(a, b)
+    assert iou[0, 0] == pytest.approx(32 / 64)
+    assert iou[0, 1] == pytest.approx(16 / 48)
+    iof = np_mask_overlaps(a, b, mode="iof")
+    assert iof[0, 0] == pytest.approx(1.0)
+    assert iof[0, 1] == pytest.approx(16 / 32)
+
+
+def _segm_ann(h=64, w=64):
+    """One gt: box [0,0,32,32] whose instance mask is its LEFT half."""
+    return [{"bboxes": np.array([[0, 0, 32, 32]], np.float32),
+             "labels": np.array([0]),
+             "masks": [[[0, 0, 16, 0, 16, 32, 0, 32]]],
+             "width": w, "height": h}]
+
+
+def test_coco_map_segm_splits_from_bbox():
+    """A det with the right BOX but a full-box MASK: bbox mAP is 1.0 at
+    every threshold; segm IoU is 0.5 so only the .50 threshold matches
+    -> segm mAP 0.1 (COCOeval iouType='segm' vs 'bbox' divergence)."""
+    anns = _segm_ann()
+    dets = _dets([[(0, [0, 0, 32, 32], 0.9)]])
+    full = [[np.ones((1, 28, 28), np.float32)]]
+    out_bbox = eval_coco_map(dets, anns)
+    out_segm = eval_coco_map(dets, anns, det_masks=full)
+    assert out_bbox["mAP"] == pytest.approx(1.0)
+    assert out_segm["mAP_50"] == pytest.approx(1.0)
+    assert out_segm["mAP"] == pytest.approx(0.1)
+    # a det mask matching the gt's left half -> near-perfect segm mAP
+    # (fillPoly keeps the polygon's right boundary column, so the gt
+    # raster is one pixel wider: IoU = 16/17 ~ 0.94, failing only .95)
+    half = np.zeros((1, 28, 28), np.float32)
+    half[:, :, :14] = 1.0
+    out_exact = eval_coco_map(dets, anns, det_masks=[[half]])
+    assert out_exact["mAP"] == pytest.approx(0.9)
+    assert out_exact["mAP_75"] == pytest.approx(1.0)
+
+
+def test_coco_map_segm_crowd_ignore():
+    """A det whose pasted mask lands inside a crowd BOX region is
+    ignored in segm mode (neither TP nor FP)."""
+    anns = _segm_ann()
+    anns[0]["bboxes_ignore"] = np.array([[40, 40, 60, 60]], np.float32)
+    anns[0]["labels_ignore"] = np.array([0])
+    half = np.zeros((1, 28, 28), np.float32)
+    half[:, :, :14] = 1.0
+    dets = _dets([[(0, [0, 0, 32, 32], 0.8),
+                   (0, [42, 42, 58, 58], 0.95)]])
+    masks = [[np.concatenate([half, np.ones((1, 28, 28), np.float32)])]]
+    out = eval_coco_map(dets, anns, det_masks=masks)
+    # 0.9 is the true det's own ceiling (boundary pixel, see above):
+    # the crowd-matched det costs nothing on top of it
+    assert out["mAP"] == pytest.approx(0.9)
+    # without the crowd region the spurious det is a hard FP
+    anns[0]["bboxes_ignore"] = np.zeros((0, 4), np.float32)
+    anns[0]["labels_ignore"] = np.zeros((0,), np.int64)
+    out2 = eval_coco_map(dets, anns, det_masks=masks)
+    assert out2["mAP_50"] == pytest.approx(0.5)
+
+
+def test_mask_detections_to_per_class_alignment():
+    import types
+
+    from aod_meh_hua_tpu.engine.eval import mask_detections_to_per_class
+
+    rng = np.random.RandomState(3)
+    d = 6
+    dets = types.SimpleNamespace(
+        boxes=rng.rand(2, d, 4).astype(np.float32) * 50,
+        scores=rng.rand(2, d).astype(np.float32),
+        labels=rng.randint(0, 3, (2, d)),
+        valid=np.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]], bool),
+        masks=rng.rand(2, d, 14, 14).astype(np.float32))
+    results, masks = mask_detections_to_per_class(dets, 3,
+                                                  np.array([True, True]))
+    assert len(results) == len(masks) == 2
+    for i in range(2):
+        for c in range(3):
+            assert len(results[i][c]) == len(masks[i][c])
+            # row alignment: each kept row's mask is the original det's
+            for r in range(len(results[i][c])):
+                src = np.where((dets.labels[i] == c) & dets.valid[i])[0][r]
+                np.testing.assert_array_equal(masks[i][c][r],
+                                              dets.masks[i][src])
+
+
+def test_train_detector_coco_segm_cli(coco, tmp_path):
+    """Mask R-CNN on a COCO dir through the real CLI emits segm mAP
+    beside bbox mAP (CocoDataset.evaluate metric=['bbox','segm'])."""
+    ann_path, img_dir = coco
+    work = str(tmp_path / "cocomask")
+    r = subprocess.run(
+        [sys.executable, "tools/train_detector.py", "--family", "mask_rcnn",
+         "--mini", "--cpu", "--coco-train", ann_path,
+         "--coco-val", ann_path, "--coco-img-prefix", img_dir,
+         "--work-dir", work, "--epochs", "1"],
+        capture_output=True, text=True, cwd=REPO, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads(open(os.path.join(work, "train_log.jsonl")).read()
+                     .splitlines()[0])
+    assert np.isfinite(row["loss"])
+    assert "segm_mAP" in row and "segm_mAP_50" in row
+    assert 0.0 <= row["segm_mAP"] <= 1.0

@@ -405,14 +405,22 @@ def main():
                          args.coco_img_prefix_val or prefix,
                          classes=classes, test_mode=True)
 
-        def eval_fn(results, anns):
+        def eval_fn(results, anns, det_masks=None):
             if args.dataset_type == "lvis":
                 out = eval_lvis_map(results, anns, val.eval_image_masks(),
                                     nel_masks=val.nel_image_masks())
             else:
                 out = eval_coco_map(results, anns)
-            return {"mAP": out["mAP"], "mAP_50": out["mAP_50"],
-                    "mAP_75": out["mAP_75"]}
+            row = {"mAP": out["mAP"], "mAP_50": out["mAP_50"],
+                   "mAP_75": out["mAP_75"]}
+            if det_masks is not None and args.dataset_type != "lvis":
+                # segm protocol (CocoDataset.evaluate metric='segm'):
+                # same matching on pasted-mask IoU
+                seg = eval_coco_map(results, anns, det_masks=det_masks)
+                row.update({"segm_mAP": seg["mAP"],
+                            "segm_mAP_50": seg["mAP_50"],
+                            "segm_mAP_75": seg["mAP_75"]})
+            return row
     else:
         if not args.voc07:
             raise SystemExit("one of --voc07 or --coco-train is required")
@@ -432,7 +440,8 @@ def main():
             if os.path.exists(test_txt):
                 val = VOCDataset(test_txt, args.voc07, test_mode=True, classes=classes)
 
-        def eval_fn(results, anns):
+        def eval_fn(results, anns, det_masks=None):
+            # VOC XML carries no instance masks: segm eval is undefined
             return {"mAP": eval_map(results, anns, iou_thr=0.5,
                                     mode="11points")["mAP"]}
 
@@ -509,7 +518,7 @@ def main():
 
                 vidx = rank_indices(len(val), proc_id, proc_count)
                 variables = jax.tree.map(np.asarray, variables)
-            results, order = [], []
+            results, order, res_masks = [], [], []
             vloader = EvalLoader(val, vidx, pipe,
                                  batch_size=max(args.batch_size, 4))
             for orientation, ebatch, idx in vloader:
@@ -537,18 +546,29 @@ def main():
                 else:
                     dets = eval_steps[orientation](variables, ebatch)
                 nc = 1 if args.family == "rpn" else cfg.num_classes
-                results.extend(detections_to_per_class(
-                    dets, nc, np.asarray(ebatch.valid)))
+                if hasattr(dets, "masks"):
+                    from aod_meh_hua_tpu.engine.eval import \
+                        mask_detections_to_per_class
+
+                    res_i, masks_i = mask_detections_to_per_class(
+                        dets, nc, np.asarray(ebatch.valid))
+                    results.extend(res_i)
+                    res_masks.extend(masks_i)
+                else:
+                    results.extend(detections_to_per_class(
+                        dets, nc, np.asarray(ebatch.valid)))
                 order.extend(idx.tolist())
             if proc_count > 1:
                 from aod_meh_hua_tpu.parallel import collect_objects
 
                 parts = collect_objects(args.work_dir, f"eval{epoch}",
-                                        (results, order))
-                results = [r for res, _ in parts for r in res]
-                order = [i for _, o in parts for i in o]
+                                        (results, order, res_masks))
+                results = [r for res, _, _ in parts for r in res]
+                order = [i for _, o, _ in parts for i in o]
+                res_masks = [m for _, _, ms in parts for m in ms]
             anns = [val.get_ann_info(i) for i in order]
-            row.update(eval_fn(results, anns))
+            row.update(eval_fn(results, anns,
+                               det_masks=res_masks if res_masks else None))
             print(f"epoch {epoch}: mAP {row['mAP']:.4f}", flush=True)
         metrics.append(row)
         if is_main:
