@@ -34,8 +34,15 @@ def _zoo_families():
 
 def parse_args():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", required=True,
+    ap.add_argument("--family", default=None,
                     choices=sorted(_zoo_families()))
+    ap.add_argument("--reference-config", default=None,
+                    help="path to an upstream reference zoo config file "
+                         "(mmcv _base_-inheriting python, e.g. "
+                         "configs/atss/atss_r50_fpn_1x_coco.py): resolves "
+                         "the family and honors num_classes/geometry/"
+                         "test_cfg/optimizer/schedule; explicit flags "
+                         "override; --mini keeps the tiny smoke geometry")
     ap.add_argument("--voc07", default=None, help="VOC2007 root")
     ap.add_argument("--voc12", default=None, help="optional VOC2012 root")
     ap.add_argument("--coco-train", default=None,
@@ -331,7 +338,44 @@ def main():
     from aod_meh_hua_tpu.utils.voc_eval import eval_map
 
     os.makedirs(args.work_dir, exist_ok=True)
-    cfg = build(args.family, args.mini, args.dtype)
+    if args.reference_config:
+        import dataclasses as _dc
+
+        from aod_meh_hua_tpu.utils.mmconfig import map_reference_zoo_config
+
+        z = map_reference_zoo_config(args.reference_config, mini=args.mini)
+        if z.family in ("retinanet", "ssd"):
+            raise SystemExit(
+                f"{z.family}: use tools/train_retinanet.py / train_ssd.py "
+                f"(the AL drivers) for the live families")
+        if args.family and args.family != z.family:
+            raise SystemExit(f"--family {args.family} contradicts "
+                             f"{args.reference_config} (resolves to "
+                             f"{z.family})")
+        args.family = z.family
+        cfg = _dc.replace(z.model, compute_dtype=args.dtype)
+        # the file's schedule fills any flag left at its default
+        defaults = {"epochs": 12, "lr_steps": [8, 11], "batch_size": 2,
+                    "lr": ap_lr_default(), "momentum": 0.9,
+                    "weight_decay": 1e-4}
+        ref = {"epochs": z.train["epochs"],
+               "lr_steps": list(z.train["lr_steps"]),
+               "batch_size": z.train["batch_size"], "lr": z.train["lr"],
+               "momentum": z.train["momentum"],
+               "weight_decay": z.train["weight_decay"]}
+        for k, dflt in defaults.items():
+            if getattr(args, k) == dflt:
+                setattr(args, k, ref[k])
+        args._ref_train = z.train  # grad_clip etc. for the optimizer
+        print(f"reference config -> family {z.family}, "
+              f"lr {args.lr} x0.1@{args.lr_steps}, {args.epochs} epochs, "
+              f"batch {args.batch_size}", flush=True)
+        for n in z.notes:
+            print(f"  note: {n}", flush=True)
+    elif not args.family:
+        raise SystemExit("one of --family or --reference-config is required")
+    else:
+        cfg = build(args.family, args.mini, args.dtype)
     if args.family == "detr":
         # configs/detr/detr_r50: AdamW 1e-4, wd 1e-4, backbone x0.1, clip 0.1
         lr = args.lr if args.lr != ap_lr_default() else 1e-4
@@ -354,8 +398,9 @@ def main():
                            weight_decay=args.weight_decay, grad_clip=1.0,
                            batch_size=args.batch_size, seed=args.seed)
     else:
+        clip = (getattr(args, "_ref_train", None) or {}).get("grad_clip")
         tcfg = TrainConfig(lr=args.lr, momentum=args.momentum,
-                           weight_decay=args.weight_decay,
+                           weight_decay=args.weight_decay, grad_clip=clip,
                            batch_size=args.batch_size, seed=args.seed)
     model, variables = init_detector(cfg, seed=args.seed)
     state, tx = create_train_state(model, variables, tcfg,
