@@ -58,6 +58,64 @@ def _chain_timed(fn, args, iters, warmup=3):
     return dt
 
 
+_CALL_OVERHEAD = [None]
+
+
+def _loop_timed(fn, fargs, iters):
+    """Timing for a SYNCHRONOUS-mode relay (this environment degrades to
+    one round-trip per dispatch after any D2H fetch): build ONE jitted
+    program that runs `fn` `iters` times serially inside a lax.fori_loop
+    (data dependency threaded through a runtime-zero so XLA can neither
+    hoist nor elide the op), execute it with a single dispatch, fetch a
+    single scalar. Per-op time = (call time - measured null-call
+    overhead) / iters. _chain_timed pays ~6 eager dispatches + relay
+    latency PER ITERATION, which swamps ms-scale ops here; this pays one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if _CALL_OVERHEAD[0] is None:
+        @jax.jit
+        def null(x):
+            return jax.lax.fori_loop(0, iters, lambda i, a: a + 1.0, x)
+
+        float(np.asarray(null(jnp.float32(0))))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(np.asarray(null(jnp.float32(0))))
+        _CALL_OVERHEAD[0] = (time.perf_counter() - t0) / 3
+        print(json.dumps({"null_call_overhead_ms":
+                          round(_CALL_OVERHEAD[0] * 1e3, 3)}), flush=True)
+
+    @jax.jit
+    def many(*fa):
+        def body(i, carry):
+            a, acc = carry
+            out = fn(*a)
+            flat = out.reshape(-1)
+            s = jnp.sum(jax.lax.slice(flat, (0,), (8,)).astype(jnp.float32))
+            eps = jnp.where(jnp.isnan(s), 1.0, 0.0)
+            x = a[0]
+            idx = (0,) * x.ndim
+            upd = (jax.lax.dynamic_slice(x, idx, (1,) * x.ndim)
+                   + eps.astype(x.dtype))
+            a = (jax.lax.dynamic_update_slice(x, upd, idx),) + tuple(a[1:])
+            return (a, acc + s)
+
+        (_, acc) = jax.lax.fori_loop(
+            0, iters, body, (tuple(fa), jnp.float32(0)))
+        return acc
+
+    s = float(np.asarray(many(*fargs)))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = float(np.asarray(many(*fargs)))
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(s)
+    return max(best - _CALL_OVERHEAD[0], 1e-9) / iters
+
+
 def resnet50_conv_shapes(h=608, w=1024):
     """(name, H, W, Cin, Cout, k, stride, count) for every distinct conv
     in torchvision-layout R50 (models/resnet.py)."""
@@ -108,7 +166,8 @@ def census(args):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-        dt = _chain_timed(conv, (x, wk), args.iters)
+        timed = _loop_timed if args.loop else _chain_timed
+        dt = timed(conv, (x, wk), args.iters)
         flops = 2 * b * (h // stride) * (w // stride) * k * k * cin * cout
         ideal_ms = flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 1e3
         rows.append({"op": name, "ms": round(dt * 1e3, 3),
@@ -193,10 +252,11 @@ def matmul_probe(args):
     print(json.dumps({"pallas_vs_xla_max_abs_err": err}), flush=True)
     assert err < 1e-1, "pallas transposed matmul disagrees with XLA"
 
-    report("conv_1x1_nhwc", _chain_timed(conv_form, (x, wt), args.iters))
-    report("matmul_MK_KN", _chain_timed(plain, (x, wt), args.iters))
-    report("matmul_NK_KM_transposed", _chain_timed(transposed, (wtt, xt), args.iters))
-    report("pallas_NK_KM_transposed", _chain_timed(pallas_t, (wtt, xt), args.iters))
+    timed = _loop_timed if args.loop else _chain_timed
+    report("conv_1x1_nhwc", timed(conv_form, (x, wt), args.iters))
+    report("matmul_MK_KN", timed(plain, (x, wt), args.iters))
+    report("matmul_NK_KM_transposed", timed(transposed, (wtt, xt), args.iters))
+    report("pallas_NK_KM_transposed", timed(pallas_t, (wtt, xt), args.iters))
     print(json.dumps(out))
 
 
@@ -206,6 +266,10 @@ def main():
     ap.add_argument("--matmul", action="store_true")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--loop", action="store_true",
+                    help="in-jit fori_loop timing: one dispatch + one "
+                         "fetch per shape (use when the relay is in "
+                         "synchronous mode; see _loop_timed)")
     ap.add_argument("--cpu", action="store_true",
                     help="CPU + pallas interpret semantics (plumbing check)")
     args = ap.parse_args()
