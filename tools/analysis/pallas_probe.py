@@ -195,10 +195,14 @@ def matmul_probe(args):
     tm = 512
     m = (m // tm) * tm
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(m, k).astype(np.float32) * 0.1, jnp.bfloat16)
-    wt = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.02, jnp.bfloat16)
-    xt = jnp.asarray(np.ascontiguousarray(np.asarray(x).T))  # [K, M]
-    wtt = jnp.asarray(np.ascontiguousarray(np.asarray(wt).T))  # [N, K]
+    # transposes built HOST-side: np.asarray(device_array).T would pull
+    # hundreds of MB back over the relay before the probe even starts
+    x_np = (rng.randn(m, k).astype(np.float32) * 0.1)
+    wt_np = (rng.randn(k, n).astype(np.float32) * 0.02)
+    x = jnp.asarray(x_np, jnp.bfloat16)
+    wt = jnp.asarray(wt_np, jnp.bfloat16)
+    xt = jnp.asarray(np.ascontiguousarray(x_np.T), jnp.bfloat16)  # [K, M]
+    wtt = jnp.asarray(np.ascontiguousarray(wt_np.T), jnp.bfloat16)  # [N, K]
     flops = 2 * m * k * n
     out = {}
 
@@ -245,9 +249,14 @@ def matmul_probe(args):
                 transcendentals=0),
         )(wi, xi)
 
-    # numerical check of the pallas kernel (block-index semantics)
-    want = np.asarray(transposed(wtt, xt)).astype(np.float32)
-    got = np.asarray(pallas_t(wtt, xt)).astype(np.float32)
+    # numerical check of the pallas kernel (block-index semantics);
+    # fetch only a column slice — the full [N, M] is ~163 MB at batch 32,
+    # minutes over a degraded relay
+    cs = min(4096, m)
+    want = np.asarray(jax.lax.slice(transposed(wtt, xt), (0, 0), (n, cs))
+                      ).astype(np.float32)
+    got = np.asarray(jax.lax.slice(pallas_t(wtt, xt), (0, 0), (n, cs))
+                     ).astype(np.float32)
     err = float(np.max(np.abs(want - got)))
     print(json.dumps({"pallas_vs_xla_max_abs_err": err}), flush=True)
     assert err < 1e-1, "pallas transposed matmul disagrees with XLA"
