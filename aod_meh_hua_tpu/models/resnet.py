@@ -36,13 +36,46 @@ def channel_dropout(x, rate: float, deterministic: bool):
     return nn.Dropout(rate, broadcast_dims=(1, 2), deterministic=deterministic)(x)
 
 
-def _make_conv(int8: bool, features, kernel_size, strides, padding, dtype, name):
+class Conv1x1Matmul(nn.Module):
+    """1x1 conv computed as [B*H*W, Cin] @ [Cin, Cout] — the SAME
+    'kernel' param tree as nn.Conv ((1, 1, Cin, Cout)), so checkpoints
+    and the torchvision converter are layout-agnostic to the flag.
+
+    Measured on a v5e chip (tools/analysis/pallas_probe.py --matmul
+    --loop): XLA's conv lowering of the C2-stage 1x1 (K=256 -> N=64)
+    reaches 8.9% of bf16 peak while the identical contraction as a
+    plain matmul reaches 41.3% — 4.6x. Strided 1x1 convs (the
+    downsample path, pad 0) are the same matmul on the ::s-sliced
+    input, exactly."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        sy, sx = self.strides
+        if (sy, sx) != (1, 1):
+            x = x[:, ::sy, ::sx, :]
+        b, h, w, _ = x.shape
+        y = jnp.dot(x.reshape(b * h * w, cin).astype(self.dtype),
+                    kernel.reshape(cin, self.features).astype(self.dtype))
+        return y.reshape(b, h, w, self.features)
+
+
+def _make_conv(int8: bool, features, kernel_size, strides, padding, dtype, name,
+               as_matmul: bool = False):
     """nn.Conv(use_bias=False) or its int8-PTQ drop-in (same param tree)."""
     if int8:
         from .quant import Int8Conv
 
         return Int8Conv(features, kernel_size, strides=strides,
                         padding=padding, dtype=dtype, name=name)
+    if as_matmul and kernel_size == (1, 1) and padding == ((0, 0), (0, 0)):
+        return Conv1x1Matmul(features, strides=strides, dtype=dtype, name=name)
     return nn.Conv(features, kernel_size, strides=strides, padding=padding,
                    use_bias=False, dtype=dtype, name=name)
 
@@ -60,6 +93,7 @@ class Bottleneck(nn.Module):
     # GeneralizedAttention plugin after conv2 (attention_type string;
     # reference configs/empirical_attention/*, position='after_conv2')
     attention: Any = None
+    conv1x1_matmul: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,7 +101,7 @@ class Bottleneck(nn.Module):
         drop = lambda v: channel_dropout(v, self.mc_dropout, deterministic=False)
         identity = x
         y = _make_conv(self.int8, self.planes, (1, 1), (1, 1), ((0, 0), (0, 0)),
-                       self.dtype, "conv1")(x)
+                       self.dtype, "conv1", as_matmul=self.conv1x1_matmul)(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = drop(nn.relu(y))
         if self.dcn:
@@ -89,7 +123,8 @@ class Bottleneck(nn.Module):
                 num_heads=8, attention_type=self.attention, kv_stride=2,
                 dtype=self.dtype, name="gen_attention")(y)
         y = _make_conv(self.int8, self.planes * 4, (1, 1), (1, 1),
-                       ((0, 0), (0, 0)), self.dtype, "conv3")(y)
+                       ((0, 0), (0, 0)), self.dtype, "conv3",
+                       as_matmul=self.conv1x1_matmul)(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
         if self.gcb_ratio:
             from .deform import ContextBlock
@@ -99,7 +134,8 @@ class Bottleneck(nn.Module):
         if self.downsample:
             identity = _make_conv(self.int8, self.planes * 4, (1, 1),
                                   (self.stride, self.stride), ((0, 0), (0, 0)),
-                                  self.dtype, "downsample_conv")(x)
+                                  self.dtype, "downsample_conv",
+                                  as_matmul=self.conv1x1_matmul)(x)
             identity = nn.BatchNorm(
                 use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="downsample_bn"
             )(identity)
@@ -172,6 +208,9 @@ class ResNet(nn.Module):
     # GeneralizedAttention after conv2 (empirical_attention: c4-c5)
     attention: Any = None
     stage_with_attention: Sequence[bool] = (False, False, True, True)
+    # 1x1 convs as reshaped matmuls (Conv1x1Matmul): 4.6x on narrow-channel
+    # shapes, measured — see pallas_probe --matmul; param tree unchanged
+    conv1x1_matmul: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,6 +238,7 @@ class ResNet(nn.Module):
                                if self.stage_with_gcb[stage] else None),
                     attention=(self.attention
                                if self.stage_with_attention[stage] else None),
+                    conv1x1_matmul=self.conv1x1_matmul,
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x)
             outs.append(x)

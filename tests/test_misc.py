@@ -164,3 +164,32 @@ def test_show_result(tmp_path, rng):
     out = show_result(img, dets, out_file=str(tmp_path / "r.jpg"))
     assert os.path.exists(tmp_path / "r.jpg")
     assert not np.array_equal(out, img)
+
+
+def test_conv1x1_matmul_equivalence(rng):
+    """Conv1x1Matmul (backbone 1x1 convs as reshaped matmuls — the
+    measured 4.6x MXU lever, models/resnet.py) is numerically the
+    nn.Conv path with the identical parameter tree, including the
+    stride-2 downsample 1x1."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from aod_meh_hua_tpu.models import build_retinanet, init_retinanet
+    from aod_meh_hua_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    model, variables = init_retinanet(cfg, jax.random.PRNGKey(3))
+    model_mm = build_retinanet(replace(cfg, conv1x1_matmul=True))
+    h, w = cfg.canvas
+    x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32) * 0.3)
+    a = model.apply(variables, x)
+    b = model_mm.apply(variables, x)  # same variables, different lowering
+    for u, v in zip(a[:2], b[:2]):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-4, atol=1e-4)
+    # init with the flag produces the same param tree
+    _, v2 = init_retinanet(replace(cfg, conv1x1_matmul=True),
+                           jax.random.PRNGKey(3))
+    assert jax.tree_util.tree_structure(v2) == \
+        jax.tree_util.tree_structure(variables)
