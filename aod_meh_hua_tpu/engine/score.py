@@ -45,38 +45,33 @@ def _mi_fn(cfg: RetinaNetConfig, key: Optional[jax.Array]):
     return dirichlet_mutual_information
 
 
-def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
-    """Returns score_step(variables, batch, key=None) -> (unc [B], maxconf [B]).
+def make_nms_output_core(cfg: RetinaNetConfig, select) -> Callable:
+    """The Entropy_NMS scoring core operating on raw head OUTPUTS:
+    (cls_scores [B, A, C], bbox_preds [B, A, 4], lambdas [B, A],
+    img_shapes [B, 2], scale_factors [B, 4], anchors [A, 4], key) ->
+    (unc [B], maxconf [B]).
 
-    Dispatches on cfg.hua.pool: Entropy_NMS (HUA over NMS objects),
-    Entropy_ALL / Entropy_NoNMS (scale/class aggregation over full maps;
-    NoNMS applies no lambda rescale, matching the reference's pathway
-    that passes no L_scores). 'Random' is host-side (al/uncertainty.py).
+    Shared by make_score_step (after the model forward) and by
+    make_output_scorer (the acquisition-parity oracle entry, which feeds
+    synthetic head outputs to exercise topk -> decode -> NMS ->
+    membership -> Dirichlet MI -> HUA exactly as production composes
+    them — reference chain Lambda_L2.py:254-384 -> :489-537 -> :597-619).
     """
-    select, anchors_host = make_candidate_selector(cfg)
     agg = parse_agg_spec(cfg.hua.agg)
     hua = cfg.hua
     t = cfg.test
     unc_type = {"epistemic": "epistemic", "aleatoric": "aleatoric", "total": "total",
                 "shannon": "total"}[hua.unc_type.lower()]
-    full_bounds = cfg.level_bounds()
 
-    def _maxconf(cls_scores: jnp.ndarray) -> jnp.ndarray:
-        # getMaxConf: per-image max softmax probability over every level
-        probs = jax.nn.softmax(cls_scores, axis=-1)
-        return probs.reshape(probs.shape[0], -1).max(axis=-1)
-
-    def score_nms(variables, batch: EvalBatch, anchors,
-                  key: Optional[jax.Array] = None):
-        images = prepare_images(batch.images, batch.img_shapes, cfg)
-        cls_scores, bbox_preds, lambdas = model.apply(variables, images)
-        cand = select(anchors, cls_scores, bbox_preds, lambdas, batch.img_shapes)
+    def core(cls_scores, bbox_preds, lambdas, img_shapes, scale_factors,
+             anchors, key: Optional[jax.Array] = None):
+        cand = select(anchors, cls_scores, bbox_preds, lambdas, img_shapes)
         # getMaxConf comes from the selector's per-level max (no second
         # full-map softmax pass; ranking-identical, see Candidates.max_prob)
         maxconf = cand.max_prob
         # the reference pool sweep runs rescale=True (apis/test.py:115);
         # membership IoUs are scale-invariant but we match exactly
-        boxes = cand.boxes / batch.scale_factors[:, None, :]
+        boxes = cand.boxes / scale_factors[:, None, :]
         cand = cand._replace(boxes=boxes)
         fg_scores = cand.scores[..., : cfg.num_fg_classes]
         dets = batched_multiclass_nms(
@@ -96,6 +91,64 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
             )
         )(cand.scores, cand.lambdas, member)
         return unc, maxconf
+
+    return core
+
+
+def make_output_scorer(cfg: RetinaNetConfig) -> Callable:
+    """Jitted Entropy_NMS scorer over raw head outputs (no model forward).
+
+    Returns step(cls_scores [B, A, C], bbox_preds [B, A, 4], lambdas
+    [B, A], img_shapes [B, 2] int32, scale_factors [B, 4], key=None) ->
+    (unc [B], maxconf [B]). Drives the EXACT production composition the
+    pool sweep uses; exists so the acquisition-parity oracle can compare
+    it against a dynamic-shape numpy transcription of the reference at
+    pool scale (tests/reference_oracle.py).
+    """
+    select, anchors_host = make_candidate_selector(cfg)
+    core = make_nms_output_core(cfg, select)
+    jfn = jax.jit(core)
+    anchors_arg = ConstArg(anchors_host)
+
+    def step(cls_scores, bbox_preds, lambdas, img_shapes, scale_factors,
+             key: Optional[jax.Array] = None):
+        anchors = anchors_arg.get(cls_scores)
+        if key is not None:
+            return jfn(cls_scores, bbox_preds, lambdas, img_shapes,
+                       scale_factors, anchors, key)
+        return jfn(cls_scores, bbox_preds, lambdas, img_shapes,
+                   scale_factors, anchors)
+
+    return step
+
+
+def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
+    """Returns score_step(variables, batch, key=None) -> (unc [B], maxconf [B]).
+
+    Dispatches on cfg.hua.pool: Entropy_NMS (HUA over NMS objects),
+    Entropy_ALL / Entropy_NoNMS (scale/class aggregation over full maps;
+    NoNMS applies no lambda rescale, matching the reference's pathway
+    that passes no L_scores). 'Random' is host-side (al/uncertainty.py).
+    """
+    select, anchors_host = make_candidate_selector(cfg)
+    agg = parse_agg_spec(cfg.hua.agg)
+    hua = cfg.hua
+    unc_type = {"epistemic": "epistemic", "aleatoric": "aleatoric", "total": "total",
+                "shannon": "total"}[hua.unc_type.lower()]
+    full_bounds = cfg.level_bounds()
+    nms_core = make_nms_output_core(cfg, select)
+
+    def _maxconf(cls_scores: jnp.ndarray) -> jnp.ndarray:
+        # getMaxConf: per-image max softmax probability over every level
+        probs = jax.nn.softmax(cls_scores, axis=-1)
+        return probs.reshape(probs.shape[0], -1).max(axis=-1)
+
+    def score_nms(variables, batch: EvalBatch, anchors,
+                  key: Optional[jax.Array] = None):
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
+        cls_scores, bbox_preds, lambdas = model.apply(variables, images)
+        return nms_core(cls_scores, bbox_preds, lambdas, batch.img_shapes,
+                        batch.scale_factors, anchors, key)
 
     def score_scale(variables, batch: EvalBatch, anchors,
                     key: Optional[jax.Array] = None):

@@ -50,6 +50,7 @@ class MEHRetinaNet(nn.Module):
             mc_dropout=self.cfg.mc_dropout, stem_s2d=self.cfg.stem_s2d,
             int8=getattr(self.cfg, "backbone_int8", False),
             conv1x1_matmul=getattr(self.cfg, "conv1x1_matmul", False),
+            fused_blocks=getattr(self.cfg, "fused_blocks", False),
             dtype=dtype, name="backbone",
         )
         self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=1,

@@ -41,12 +41,15 @@ class Conv1x1Matmul(nn.Module):
     'kernel' param tree as nn.Conv ((1, 1, Cin, Cout)), so checkpoints
     and the torchvision converter are layout-agnostic to the flag.
 
-    Measured on a v5e chip (tools/analysis/pallas_probe.py --matmul
-    --loop): XLA's conv lowering of the C2-stage 1x1 (K=256 -> N=64)
-    reaches 8.9% of bf16 peak while the identical contraction as a
-    plain matmul reaches 41.3% — 4.6x. Strided 1x1 convs (the
-    downsample path, pad 0) are the same matmul on the ::s-sliced
-    input, exactly."""
+    MEASURED DEAD END (kept for the record + A/B reproducibility): an
+    early degraded-relay probe suggested 4.6x on the C2 1x1 shapes, but
+    the single-dispatch fori_loop probe on a healthy relay (2026-08-19,
+    pallas_probe --matmul --loop) shows conv 13.3% vs plain matmul
+    14.2% of bf16 peak — both pinned at the op's HBM-bandwidth roofline
+    (~21%), and the full scoring program gets SLOWER with the flag on
+    (292.6 vs 320.6 img/s/chip: the reshape breaks XLA's conv-to-conv
+    layout chaining). The real lever for these bandwidth-bound blocks
+    is whole-block fusion (ops/fused_block.py)."""
 
     features: int
     strides: Tuple[int, int] = (1, 1)
@@ -80,6 +83,38 @@ def _make_conv(int8: bool, features, kernel_size, strides, padding, dtype, name,
                    use_bias=False, dtype=dtype, name=name)
 
 
+class _ConvParams(nn.Module):
+    """Declares an nn.Conv-compatible 'kernel' param without the conv —
+    the fused-block path reads weights directly (ops/fused_block.py) but
+    must keep the variable tree IDENTICAL to the unfused module so
+    checkpoints and converters are layout-agnostic to the flag."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """nn.BatchNorm-compatible params/batch_stats, data only."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return {"scale": scale, "bias": bias}, {"mean": mean.value, "var": var.value}
+
+
 class Bottleneck(nn.Module):
     planes: int  # bottleneck width; output is 4 * planes
     stride: int = 1
@@ -94,10 +129,41 @@ class Bottleneck(nn.Module):
     # reference configs/empirical_attention/*, position='after_conv2')
     attention: Any = None
     conv1x1_matmul: bool = False
+    # single fused Pallas kernel for the whole block (scoring/eval only —
+    # no custom VJP; exact math, see ops/fused_block.py). Requires
+    # stride 1 and no plugins; silently falls back otherwise.
+    fused: bool = False
     dtype: Any = jnp.float32
+
+    def _fused_eligible(self):
+        return (self.fused and self.stride == 1 and not self.dcn
+                and not self.gcb_ratio and not self.attention
+                and not self.int8 and self.mc_dropout == 0.0)
 
     @nn.compact
     def __call__(self, x):
+        if self._fused_eligible():
+            from ..ops.fused_block import fold_bottleneck, fused_bottleneck
+
+            cin = x.shape[-1]
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            p["conv1"] = {"kernel": _ConvParams((1, 1, cin, self.planes), name="conv1")()}
+            p["bn1"], s["bn1"] = _BNParams(self.planes, name="bn1")()
+            p["conv2"] = {"kernel": _ConvParams(
+                (3, 3, self.planes, self.planes), name="conv2")()}
+            p["bn2"], s["bn2"] = _BNParams(self.planes, name="bn2")()
+            p["conv3"] = {"kernel": _ConvParams(
+                (1, 1, self.planes, self.planes * 4), name="conv3")()}
+            p["bn3"], s["bn3"] = _BNParams(self.planes * 4, name="bn3")()
+            if self.downsample:
+                p["downsample_conv"] = {"kernel": _ConvParams(
+                    (1, 1, cin, self.planes * 4), name="downsample_conv")()}
+                p["downsample_bn"], s["downsample_bn"] = _BNParams(
+                    self.planes * 4, name="downsample_bn")()
+            fb = fold_bottleneck(p, s)
+            return fused_bottleneck(x.astype(self.dtype), fb)
+
         drop = lambda v: channel_dropout(v, self.mc_dropout, deterministic=False)
         identity = x
         y = _make_conv(self.int8, self.planes, (1, 1), (1, 1), ((0, 0), (0, 0)),
@@ -208,9 +274,14 @@ class ResNet(nn.Module):
     # GeneralizedAttention after conv2 (empirical_attention: c4-c5)
     attention: Any = None
     stage_with_attention: Sequence[bool] = (False, False, True, True)
-    # 1x1 convs as reshaped matmuls (Conv1x1Matmul): 4.6x on narrow-channel
-    # shapes, measured — see pallas_probe --matmul; param tree unchanged
+    # 1x1 convs as reshaped matmuls (Conv1x1Matmul): measured dead end —
+    # see Conv1x1Matmul's docstring; keep False
     conv1x1_matmul: bool = False
+    # fused Pallas bottleneck for the HBM-bound narrow stages (census:
+    # C2 runs at 5-39% of peak under XLA's conv-by-conv execution);
+    # stride-1 blocks in the flagged stages only. Scoring/eval only.
+    fused_blocks: bool = False
+    stage_fused: Sequence[bool] = (True, True, False, False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -239,6 +310,7 @@ class ResNet(nn.Module):
                     attention=(self.attention
                                if self.stage_with_attention[stage] else None),
                     conv1x1_matmul=self.conv1x1_matmul,
+                    fused=(self.fused_blocks and self.stage_fused[stage]),
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x)
             outs.append(x)

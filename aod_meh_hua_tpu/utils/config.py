@@ -115,9 +115,14 @@ class RetinaNetConfig:
     # parity test before any production use
     backbone_int8: bool = False
     # backbone 1x1 convs as reshaped matmuls (models/resnet.py
-    # Conv1x1Matmul): measured 4.6x faster than XLA's conv lowering for
-    # narrow-channel shapes on v5e; identical math and param tree
+    # Conv1x1Matmul): MEASURED DEAD END on-chip (292.6 vs 320.6 img/s
+    # e2e, 2026-08-19) — keep False; superseded by fused_blocks
     conv1x1_matmul: bool = False
+    # whole-bottleneck Pallas fusion for the HBM-bandwidth-bound C2/C3
+    # stride-1 blocks (ops/fused_block.py; exact math, identical param
+    # tree). SCORING/EVAL ONLY — the kernel defines no VJP. Takes
+    # precedence over conv1x1_matmul/backbone_int8 inside fused blocks.
+    fused_blocks: bool = False
     test: TestCfg = field(default_factory=TestCfg)
     hua: HUACfg = field(default_factory=HUACfg)
 

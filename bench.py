@@ -181,6 +181,15 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="also time the dynamic-int8 PTQ scoring backbone "
                          "(models/quant.py; v5e int8 MXU peak = 2x bf16)")
+    ap.add_argument("--stem-s2d", action="store_true",
+                    help="space-to-depth stem conv (models/resnet.py "
+                         "_space_to_depth_stem; exact math, MXU-denser)")
+    ap.add_argument("--conv1x1-matmul", action="store_true",
+                    help="backbone 1x1 convs as reshaped matmuls")
+    ap.add_argument("--fused-blocks", action="store_true",
+                    help="Pallas fused bottleneck blocks for the "
+                         "bandwidth-bound stride-1 C2/C3 stages "
+                         "(ops/fused_block.py; exact math)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--train-iters", type=int, default=12,
                     help="fused train-step iterations (0 = skip; default on "
@@ -206,6 +215,12 @@ def main():
         cfg = tiny_test_config(compute_dtype=args.dtype)
     if args.fast_topk:
         cfg = replace(cfg, test=replace(cfg.test, fast_topk=True))
+    if args.stem_s2d:
+        cfg = replace(cfg, stem_s2d=True)
+    if args.conv1x1_matmul:
+        cfg = replace(cfg, conv1x1_matmul=True)
+    if args.fused_blocks:
+        cfg = replace(cfg, fused_blocks=True)
     model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
     step = make_score_step(model, cfg)
 

@@ -23,6 +23,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast core-correctness tier (`pytest -m smoke` "
+        "finishes in <10 min on a 1-core host; see docs/TESTING.md)")
+    config.addinivalue_line(
+        "markers", "full: heavy tests excluded from the smoke tier")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(20)

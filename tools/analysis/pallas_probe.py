@@ -269,10 +269,65 @@ def matmul_probe(args):
     print(json.dumps(out))
 
 
+def block_probe(args):
+    """Fused Pallas bottleneck (ops/fused_block.py) vs the unfused
+    conv-BN-relu chain XLA runs, on the two C2-stage block shapes the
+    census flags as bandwidth-bound (plus the C3 identity block).
+    Numerics are asserted on-chip before timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from aod_meh_hua_tpu.models.resnet import Bottleneck
+    from aod_meh_hua_tpu.ops.fused_block import fold_bottleneck, fused_bottleneck
+
+    b = args.batch
+    cases = [
+        ("C2.bN", 152, 256, 256, 64, False),
+        ("C2.b0", 152, 256, 64, 64, True),
+        ("C3.bN", 76, 128, 512, 128, False),
+    ]
+    rng = np.random.RandomState(0)
+    timed = _loop_timed if args.loop else _chain_timed
+    out = {}
+    for name, h, w, cin, planes, down in cases:
+        model = Bottleneck(planes=planes, stride=1, downsample=down,
+                           dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32) * 0.3,
+                        jnp.bfloat16)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        fb = fold_bottleneck(variables["params"], variables["batch_stats"])
+
+        unfused = jax.jit(lambda v, xi: model.apply(v, xi))
+        fused = jax.jit(lambda xi: fused_bottleneck(xi, fb,
+                                                    interpret=bool(args.cpu)))
+
+        want = np.asarray(jax.lax.slice(
+            unfused(variables, x), (0, 0, 0, 0), (1, 4, w, 16))).astype(np.float32)
+        got = np.asarray(jax.lax.slice(
+            fused(x), (0, 0, 0, 0), (1, 4, w, 16))).astype(np.float32)
+        err = float(np.max(np.abs(want - got)))
+        rel = err / max(1.0, float(np.abs(want).max()))
+        print(json.dumps({f"{name}_fused_vs_unfused_rel_err": round(rel, 5)}),
+              flush=True)
+        assert rel < 0.06, f"{name} fused kernel disagrees on chip"
+
+        # time with x as the (perturbed) arg; variables ride as a closure
+        # since the loop-timer's perturbation scheme needs array args
+        dt_u = timed(lambda xi: unfused(variables, xi), (x,), args.iters)
+        dt_f = timed(fused, (x,), args.iters)
+        out[name] = {"unfused_ms": round(dt_u * 1e3, 3),
+                     "fused_ms": round(dt_f * 1e3, 3),
+                     "speedup": round(dt_u / dt_f, 2)}
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--census", action="store_true")
     ap.add_argument("--matmul", action="store_true")
+    ap.add_argument("--block", action="store_true",
+                    help="fused Pallas bottleneck vs unfused XLA chain")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--loop", action="store_true",
@@ -287,10 +342,12 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    if not (args.census or args.matmul):
+    if not (args.census or args.matmul or args.block):
         args.census = args.matmul = True
     if args.matmul:
         matmul_probe(args)
+    if args.block:
+        block_probe(args)
     if args.census:
         census(args)
 
