@@ -71,7 +71,14 @@ class Conv1x1Matmul(nn.Module):
 
 def _make_conv(int8: bool, features, kernel_size, strides, padding, dtype, name,
                as_matmul: bool = False):
-    """nn.Conv(use_bias=False) or its int8-PTQ drop-in (same param tree)."""
+    """nn.Conv(use_bias=False) or its int8-PTQ drop-in (same param tree).
+
+    int8 takes precedence over as_matmul: Int8Conv already lowers 1x1
+    convs through the int8 MXU path, so the two flags never compose."""
+    if int8 and as_matmul:
+        raise ValueError(
+            "backbone_int8 and conv1x1_matmul are mutually exclusive: "
+            "Int8Conv has its own lowering; set only one.")
     if int8:
         from .quant import Int8Conv
 

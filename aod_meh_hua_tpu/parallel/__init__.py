@@ -10,4 +10,4 @@ gradient psum and the score gather rides ICI.
 from .mesh import (make_mesh, make_local_mesh, mesh_is_multiprocess,
                    shard_batch, replicate, data_sharding)
 from .dist import rank_indices, allgather_sum, barrier, collect_objects
-from .launch import init_distributed
+from .launch import detect_launch_env, init_distributed

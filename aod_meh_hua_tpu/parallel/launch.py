@@ -13,9 +13,68 @@ annotations scale from 1 chip to a pod — no backend code.
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Optional
 
 import jax
+
+
+def _first_slurm_host(nodelist: str) -> str:
+    """First hostname of a slurm nodelist without shelling to scontrol:
+    'nid[0012-0015,0020],other' -> 'nid0012'; 'host1,host2' -> 'host1'."""
+    head = nodelist.split(",")[0]
+    m = re.match(r"([^\[]+)\[([^\]\-,]+)", nodelist)
+    if m:
+        return m.group(1) + m.group(2)
+    return head
+
+
+def detect_launch_env(environ=None) -> dict:
+    """Derive (coordinator_address, num_processes, process_id) from the
+    cluster launcher's environment, the analog of mmcv init_dist's
+    'pytorch'/'slurm'/'mpi' launchers the reference selects via
+    --launcher (tools/train_RetinaNet.py:117-123 -> mmcv
+    runner/dist_utils.py). Checked in order:
+
+    * slurm:   SLURM_PROCID / SLURM_NTASKS / SLURM_NODELIST (coordinator
+               = first host; port from MASTER_PORT or 29500 — mmcv's
+               _init_dist_slurm default)
+    * OpenMPI: OMPI_COMM_WORLD_RANK / OMPI_COMM_WORLD_SIZE + MASTER_ADDR
+    * pytorch: RANK / WORLD_SIZE / MASTER_ADDR / MASTER_PORT
+
+    Returns {} when no launcher environment is present (single-process /
+    Cloud-TPU auto-discovery). Explicit CLI flags always win over this."""
+    env = os.environ if environ is None else environ
+    port = env.get("MASTER_PORT", "29500")
+    if "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
+        nodelist = env.get("SLURM_STEP_NODELIST") or env.get("SLURM_NODELIST")
+        host = env.get("MASTER_ADDR") or (
+            _first_slurm_host(nodelist) if nodelist else None)
+        out = {
+            "num_processes": int(env["SLURM_NTASKS"]),
+            "process_id": int(env["SLURM_PROCID"]),
+        }
+        if host:
+            out["coordinator_address"] = f"{host}:{port}"
+        return out
+    if "OMPI_COMM_WORLD_RANK" in env and "OMPI_COMM_WORLD_SIZE" in env:
+        out = {
+            "num_processes": int(env["OMPI_COMM_WORLD_SIZE"]),
+            "process_id": int(env["OMPI_COMM_WORLD_RANK"]),
+        }
+        if env.get("MASTER_ADDR"):
+            out["coordinator_address"] = f"{env['MASTER_ADDR']}:{port}"
+        return out
+    if "RANK" in env and "WORLD_SIZE" in env:
+        out = {
+            "num_processes": int(env["WORLD_SIZE"]),
+            "process_id": int(env["RANK"]),
+        }
+        if env.get("MASTER_ADDR"):
+            out["coordinator_address"] = f"{env['MASTER_ADDR']}:{port}"
+        return out
+    return {}
 
 
 def init_distributed(
@@ -31,7 +90,20 @@ def init_distributed(
     raises instead of degrading silently to single-process (a
     misconfigured coordinator must not train on 1/N of the data). Only
     the no-argument auto-discovery path may fall through, since that is
-    how single-process runs look."""
+    how single-process runs look.
+
+    Fields not passed explicitly are filled from the cluster launcher's
+    environment (slurm / OpenMPI / torch-launcher vars; see
+    detect_launch_env) — the reference's `--launcher slurm|mpi|pytorch`
+    ergonomics without a flag."""
+    auto = detect_launch_env()
+    if auto:
+        if coordinator_address is None:
+            coordinator_address = auto.get("coordinator_address")
+        if num_processes is None:
+            num_processes = auto.get("num_processes")
+        if process_id is None:
+            process_id = auto.get("process_id")
     explicit = (
         coordinator_address is not None
         or process_id is not None

@@ -33,6 +33,87 @@ REFERENCE_A100_IMG_S = 20.0
 TARGET_MULTIPLIER = 5.0
 
 
+def probe_env(args):
+    """Self-describing bench context (VERDICT r3 directive #3): device
+    kind, measured host<->device wire bandwidth, relay dispatch mode
+    (the axon tunnel degrades from async to one-round-trip-per-dispatch
+    sync), and compile-cache state — so cross-round BENCH deltas are
+    interpretable from the artifact alone (e.g. r2 e2e 20.07 vs r3 13.15
+    was a relay-mode artifact, invisible in the JSON at the time)."""
+    import jax
+    import jax.numpy as jnp
+
+    d = jax.devices()[0]
+    env = {
+        "platform": d.platform,
+        "device_kind": getattr(d, "device_kind", "unknown"),
+        "jax_version": jax.__version__,
+        "dtype": args.dtype,
+    }
+    cache_dir = "/tmp/jaxcache"
+    try:
+        env["compile_cache_entries_at_start"] = len(os.listdir(cache_dir))
+    except OSError:
+        env["compile_cache_entries_at_start"] = 0
+
+    # H2D wire bandwidth: 32 MB uint8, best-of-3 (the e2e sweep ships
+    # ~119 MB/batch of uint8 canvases; this is its speed limit)
+    buf = np.zeros((32 << 20,), np.uint8)
+    jax.block_until_ready(jax.device_put(buf))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        best = min(best, time.perf_counter() - t0)
+    env["h2d_mb_s"] = round(32 / best, 1)
+
+    # round-trip latency, then dispatch mode: chain 10 dependent tiny
+    # ops with ONE final fetch — async relay pays ~1 round trip total,
+    # the degraded sync relay pays ~10
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0)
+    float(np.asarray(f(x)))  # compile
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(np.asarray(f(x)))
+    rt = (time.perf_counter() - t0) / 5
+    env["roundtrip_ms"] = round(rt * 1e3, 2)
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(10):
+        y = f(y)
+    float(np.asarray(y))
+    chain = time.perf_counter() - t0
+    env["chained10_ms"] = round(chain * 1e3, 2)
+    env["relay_mode"] = "sync" if chain > 5 * rt else "async"
+    return env
+
+
+def timed_scoring(step, variables, batch, warmup, iters):
+    """Throughput of a (variables, EvalBatch) -> (unc, maxconf) score
+    step. The axon relay journals dispatches asynchronously: timing N
+    independent same-input steps under block_until_ready can report
+    nonsense. Chain each iteration on the previous output (a non-
+    foldable runtime zero derived from it feeds the next images) and
+    fetch the final scalar, so the measured wall covers N REAL runs."""
+    import jax.numpy as jnp
+
+    def chained(n):
+        bt = batch
+        base = batch.images
+        u = mc_ = None
+        for _ in range(n):
+            u, mc_ = step(variables, bt)
+            dep = jnp.where(jnp.isnan(u.sum()), 1.0, 0.0)  # runtime 0
+            bt = bt._replace(images=base + dep)
+        return float(np.asarray(u.sum()) + np.asarray(mc_.sum()))
+
+    chained(warmup)  # compile + warm (relay: 2nd dispatch pays upload)
+    t0 = time.perf_counter()
+    chained(iters)
+    return batch.images.shape[0] * iters / (time.perf_counter() - t0)
+
+
 class _JpegPool:
     """Minimal dataset over a directory of synthetic JPEGs (the
     EvalLoader protocol: img_path / aspect_flag / __len__)."""
@@ -72,10 +153,13 @@ def make_jpeg_pool(n, root="/tmp/bench_jpegs", hw=(600, 1000), seed=0):
     return _JpegPool(paths)
 
 
-def bench_train(model, variables, cfg, args):
+def bench_train(model, variables, cfg, batch_size, iters,
+                metric="train_step_throughput"):
     """Fused train-step throughput (supervised + MEH phases, in-jit
     target assignment). The state dependency chains iterations, so the
-    relay journal cannot under-report; the final loss is fetched."""
+    relay journal cannot under-report; the final loss is fetched.
+    Works for any live family sharing the engine surface (RetinaNet,
+    SSD: build_anchor_generator/featmap_sizes/canvas/max_gt)."""
     import jax
     import numpy as np
 
@@ -85,19 +169,19 @@ def bench_train(model, variables, cfg, args):
 
     import jax.numpy as jnp
 
-    b = args.train_batch
+    b = batch_size
     tcfg = TrainConfig(batch_size=b)
     # the train step DONATES its state; copy so `variables` (shared with
     # the scoring phases) keeps its buffers
     own = jax.tree.map(jnp.array, variables)
     state, tx = create_train_state(model, own, tcfg,
-                                   frozen_stages=cfg.frozen_stages)
+                                   frozen_stages=getattr(cfg, "frozen_stages", 0))
     step = make_train_step(model, cfg, tx)
     h, w = cfg.canvas
     rng = np.random.RandomState(0)
     g = cfg.max_gt
     boxes = np.zeros((b, g, 4), np.float32)
-    boxes[:, 0] = [40, 40, 300, 260]
+    boxes[:, 0] = [40, 40, min(300, w - 10), min(260, h - 10)]
     gen = cfg.build_anchor_generator()
     shapes = np.tile([[h, w]], (b, 1)).astype(np.int32)
     av = anchor_valid_flags(gen, cfg.featmap_sizes(), shapes)
@@ -116,13 +200,49 @@ def bench_train(model, variables, cfg, args):
         state, aux = step(state, batch)
         float(np.asarray(aux["loss"]))
     t0 = time.perf_counter()
-    for _ in range(args.train_iters):
+    for _ in range(iters):
         state, aux = step(state, batch)
     loss = float(np.asarray(aux["loss"]))
     dt = time.perf_counter() - t0
     assert np.isfinite(loss)
-    return {"metric": "train_step_throughput", "value": round(b * args.train_iters / dt, 2),
+    return {"metric": metric, "value": round(b * iters / dt, 2),
             "unit": "images/sec/chip", "batch": b}
+
+
+def bench_ssd(args):
+    """The second live family (reference Config_SSD.py): MEH-SSD300
+    scoring + fused-train throughput — previously untracked in any BENCH
+    artifact (VERDICT r3 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aod_meh_hua_tpu.engine import EvalBatch, make_score_step
+    from aod_meh_hua_tpu.models import init_ssd
+    from aod_meh_hua_tpu.utils.config import SSDConfig
+
+    cfg = SSDConfig(compute_dtype=args.dtype)
+    if args.mini:
+        cfg = SSDConfig(compute_dtype=args.dtype, width_mult=0.125, max_gt=8)
+    model, variables = init_ssd(cfg, jax.random.PRNGKey(0))
+    step = make_score_step(model, cfg)
+    h, w = cfg.canvas
+    b = args.batch
+    rng = np.random.RandomState(0)
+    batch = EvalBatch(
+        jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * 0.2),
+        jnp.asarray(np.tile([[h, w]], (b, 1)).astype(np.int32)),
+        jnp.asarray(np.ones((b, 4), np.float32)),
+        jnp.ones(b, dtype=bool),
+    )
+    img_s = timed_scoring(step, variables, batch, args.warmup, args.iters)
+    out = {"scoring": {"metric": "ssd_pool_scoring_throughput",
+                       "value": round(img_s, 2),
+                       "unit": "images/sec/chip", "batch": b}}
+    if args.train_iters:
+        out["train"] = bench_train(model, variables, cfg, args.train_batch,
+                                   args.train_iters,
+                                   metric="ssd_train_step_throughput")
+    return out
 
 
 def bench_e2e(model, variables, cfg, batch, n_images, num_workers, pipe=None,
@@ -195,6 +315,9 @@ def main():
                     help="fused train-step iterations (0 = skip; default on "
                          "so the bench artifact tracks BOTH hot loops)")
     ap.add_argument("--train-batch", type=int, default=8)
+    ap.add_argument("--no-ssd", action="store_true",
+                    help="skip the MEH-SSD300 block (both live families "
+                         "are tracked by default)")
     args = ap.parse_args()
 
     import jax
@@ -235,41 +358,22 @@ def main():
         jnp.ones(b, dtype=bool),
     )
 
-    # The axon relay journals dispatches asynchronously: timing N
-    # independent same-input steps under block_until_ready can report
-    # nonsense. Chain each iteration on the previous output (a non-
-    # foldable zero derived from it feeds the next images) and fetch the
-    # final scalar, so the measured wall covers N REAL executions.
-    def chained_sweep(n, sweep_step=None):
-        sweep_step = sweep_step or step
-        bt = batch
-        base = batch.images
-        u = mc_ = None
-        for _ in range(n):
-            u, mc_ = sweep_step(variables, bt)
-            dep = jnp.where(jnp.isnan(u.sum()), 1.0, 0.0)  # runtime 0
-            bt = bt._replace(images=base + dep)
-        return float(np.asarray(u.sum()) + np.asarray(mc_.sum()))
-
-    def timed(sweep_step=None):
-        chained_sweep(args.warmup, sweep_step)  # compile + warm
-        t0 = time.perf_counter()
-        chained_sweep(args.iters, sweep_step)
-        return b * args.iters / (time.perf_counter() - t0)
-
-    img_s = timed()
+    env = probe_env(args)
+    img_s = timed_scoring(step, variables, batch, args.warmup, args.iters)
     out = {
         "metric": "pool_scoring_throughput",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / (TARGET_MULTIPLIER * REFERENCE_A100_IMG_S), 3),
+        "batch": b,
+        "env": env,
     }
     if args.int8:
         from aod_meh_hua_tpu.models import build_retinanet
 
         cfg8 = replace(cfg, backbone_int8=True)
         step8 = make_score_step(build_retinanet(cfg8), cfg8)
-        img8_s = timed(step8)
+        img8_s = timed_scoring(step8, variables, batch, args.warmup, args.iters)
         out["int8"] = {
             "metric": "pool_scoring_throughput_int8_backbone",
             "value": round(img8_s, 2),
@@ -277,7 +381,10 @@ def main():
             "speedup_vs_main": round(img8_s / img_s, 3),
         }
     if args.train_iters:
-        out["train"] = bench_train(model, variables, cfg, args)
+        out["train"] = bench_train(model, variables, cfg,
+                                   args.train_batch, args.train_iters)
+    if not args.no_ssd:
+        out["ssd"] = bench_ssd(args)
     if args.e2e:
         try:
             pipe = None

@@ -128,3 +128,19 @@ def test_loader_warns_on_unknown_keys(tmp_path):
     cfg.write_text("my_novel_knob = 3\noptimizer = dict(type='SGD', lr=0.01)\n")
     with pytest.warns(UserWarning, match="my_novel_knob"):
         load_reference_config(str(cfg))
+
+
+def test_family_count_single_source_of_truth():
+    """VERDICT r3 directive #8: one count, one derivation. Docs must
+    cite 52 upstream zoo keys + 2 live AL families = 54 total; this test
+    pins the code-side numbers so README/STATUS/ARCHITECTURE prose can
+    be grepped against a single truth."""
+    from aod_meh_hua_tpu.utils.config import ALL_FAMILIES, ZOO_FAMILIES
+
+    assert len(ZOO_FAMILIES) == 52
+    assert set(ALL_FAMILIES) == {"retinanet", "ssd"} | set(ZOO_FAMILIES)
+    assert len(ALL_FAMILIES) == 54
+    import pathlib
+
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    assert "52 upstream families" in readme.read_text()

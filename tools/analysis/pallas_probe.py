@@ -58,7 +58,7 @@ def _chain_timed(fn, args, iters, warmup=3):
     return dt
 
 
-_CALL_OVERHEAD = [None]
+_CALL_OVERHEAD = {}  # keyed on iters: the null loop bakes the trip count in
 
 
 def _loop_timed(fn, fargs, iters):
@@ -74,7 +74,7 @@ def _loop_timed(fn, fargs, iters):
     import jax
     import jax.numpy as jnp
 
-    if _CALL_OVERHEAD[0] is None:
+    if iters not in _CALL_OVERHEAD:
         @jax.jit
         def null(x):
             return jax.lax.fori_loop(0, iters, lambda i, a: a + 1.0, x)
@@ -83,9 +83,10 @@ def _loop_timed(fn, fargs, iters):
         t0 = time.perf_counter()
         for _ in range(3):
             float(np.asarray(null(jnp.float32(0))))
-        _CALL_OVERHEAD[0] = (time.perf_counter() - t0) / 3
+        _CALL_OVERHEAD[iters] = (time.perf_counter() - t0) / 3
         print(json.dumps({"null_call_overhead_ms":
-                          round(_CALL_OVERHEAD[0] * 1e3, 3)}), flush=True)
+                          round(_CALL_OVERHEAD[iters] * 1e3, 3),
+                          "iters": iters}), flush=True)
 
     @jax.jit
     def many(*fa):
@@ -93,7 +94,8 @@ def _loop_timed(fn, fargs, iters):
             a, acc = carry
             out = fn(*a)
             flat = out.reshape(-1)
-            s = jnp.sum(jax.lax.slice(flat, (0,), (8,)).astype(jnp.float32))
+            s = jnp.sum(jax.lax.slice(
+                flat, (0,), (min(8, flat.shape[0]),)).astype(jnp.float32))
             eps = jnp.where(jnp.isnan(s), 1.0, 0.0)
             x = a[0]
             idx = (0,) * x.ndim
@@ -113,7 +115,7 @@ def _loop_timed(fn, fargs, iters):
         s = float(np.asarray(many(*fargs)))
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(s)
-    return max(best - _CALL_OVERHEAD[0], 1e-9) / iters
+    return max(best - _CALL_OVERHEAD[iters], 1e-9) / iters
 
 
 def resnet50_conv_shapes(h=608, w=1024):
