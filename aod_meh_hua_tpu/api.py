@@ -250,12 +250,22 @@ class Detector:
 
     def tta(self, image: Union[str, np.ndarray],
             scales: Optional[Sequence] = None,
-            flip: bool = True) -> List[np.ndarray]:
+            flip: bool = True,
+            return_masks: bool = False):
         """Test-time-augmented inference (MultiScaleFlipAug + aug_test,
         reference datasets/pipelines/test_time_aug.py:10 +
         dense_test_mixins.py:71): one candidate pass per (scale, flip),
         candidates mapped back to original coordinates, merged through
-        ONE NMS. Returns per-class [k, 5] arrays like __call__."""
+        ONE NMS. Returns per-class [k, 5] arrays like __call__.
+
+        Covered families: the dense MEH pair, faster_rcnn,
+        cascade_rcnn / htc (cascade_roi_head.py:413 aug_test: per-stage
+        refinement per aug, stage-averaged logits, mean-merged boxes),
+        and mask_rcnn / mask_scoring_rcnn / htc masks
+        (aug_test_mask + merge_augs.py merge_aug_masks) — pass
+        `return_masks=True` on a mask family to also get the per-class
+        [k, s, s] aug-averaged sigmoid mask probs (the reference
+        aug_test's (bbox_result, segm_result) pair)."""
         import dataclasses
 
         from .engine.tta import (canvas_for_scale, make_tta_candidate_step,
@@ -265,12 +275,14 @@ class Detector:
         scales = [tuple(s) for s in (scales or [self.pipeline.img_scale])]
         flips = [False, True] if flip else [False]
         fam = _family(self.cfg)
-        if fam == "faster_rcnn":
-            return self._tta_two_stage(img, scales, flips)
+        if fam in ("faster_rcnn", "cascade_rcnn", "htc", "mask_rcnn",
+                   "mask_scoring_rcnn"):
+            return self._tta_two_stage(img, scales, flips, fam, return_masks)
         if fam not in ("retinanet", "ssd"):
             raise NotImplementedError(
-                f"TTA is implemented for the dense MEH families and "
-                f"faster_rcnn (reference aug_test coverage); got {fam!r}")
+                f"TTA is implemented for the dense MEH families, "
+                f"faster_rcnn, cascade_rcnn, htc, and the mask families "
+                f"(reference aug_test coverage); got {fam!r}")
         if not hasattr(self, "_tta_steps"):
             self._tta_steps, self._tta_merge = {}, {}
         aug_boxes, aug_scores = [], []
@@ -306,21 +318,30 @@ class Detector:
         dets = self._tta_merge[mkey](boxes, scores)
         return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
 
-    def _tta_two_stage(self, img: np.ndarray, scales, flips) -> List[np.ndarray]:
+    def _tta_two_stage(self, img: np.ndarray, scales, flips,
+                       fam: str = "faster_rcnn", return_masks: bool = False):
         """Two-stage TTA (reference two_stage.py:184 aug_test →
         aug_test_rpn + merge_aug_proposals + RoI aug_test_bboxes): RPN
         per aug → merged proposal set in original coords → RoI refine
-        per aug on the SHARED proposals → mean boxes/scores → one NMS."""
+        per aug on the SHARED proposals → mean boxes/scores → one NMS.
+        Cascade/HTC swap the RoI stage for the multi-stage refinement
+        (cascade_roi_head.py:413); mask families then run the mask head
+        per aug on the merged detections and average the sigmoid probs
+        (merge_aug_masks)."""
         import dataclasses
 
-        from .engine.tta import (canvas_for_scale, make_tta_proposal_merge,
-                                 make_tta_roi_step, make_tta_rpn_step,
-                                 make_tta_two_stage_merge)
+        from .engine.tta import (canvas_for_scale, make_tta_cascade_merge,
+                                 make_tta_cascade_roi_step, make_tta_mask_step,
+                                 make_tta_proposal_merge, make_tta_roi_step,
+                                 make_tta_rpn_step, make_tta_two_stage_merge)
 
+        cascade = fam in ("cascade_rcnn", "htc")
+        with_mask = fam in ("mask_rcnn", "mask_scoring_rcnn", "htc")
         if not hasattr(self, "_tta2_steps"):
             self._tta2_steps = {}
             self._tta2_pmerge = make_tta_proposal_merge(self.cfg)
-            self._tta2_merge = make_tta_two_stage_merge(self.cfg)
+            self._tta2_merge = (make_tta_cascade_merge(self.cfg) if cascade
+                                else make_tta_two_stage_merge(self.cfg))
 
         aug_runs = []  # (steps_key, batch, flipped)
         for scale in scales:
@@ -334,9 +355,19 @@ class Detector:
                 if key not in self._tta2_steps:
                     cfg_s = dataclasses.replace(self.cfg, canvas=canvas) \
                         .for_orientation(s["orientation"])
+                    roi_step = (
+                        make_tta_cascade_roi_step(self.model, cfg_s,
+                                                  htc=(fam == "htc"))
+                        if cascade else make_tta_roi_step(self.model, cfg_s))
+                    # built whenever the family has masks (jit is lazy,
+                    # so an unused step costs nothing) — the step cache
+                    # must not depend on this call's return_masks
+                    mask_step = (make_tta_mask_step(self.model, cfg_s,
+                                                    htc=(fam == "htc"))
+                                 if with_mask else None)
                     self._tta2_steps[key] = (
                         make_tta_rpn_step(self.model, cfg_s),
-                        make_tta_roi_step(self.model, cfg_s))
+                        roi_step, mask_step)
                 batch = EvalBatch(
                     s["image"][None], s["img_shape"][None],
                     s["scale_factor"][None], np.ones(1, bool),
@@ -361,7 +392,25 @@ class Detector:
             probs.append(np.asarray(pr))
         dets = self._tta2_merge(np.stack(boxes), np.stack(probs),
                                 np.asarray(merged_valid))
-        return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
+        if not (with_mask and return_masks):
+            return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
+
+        # mask TTA (aug_test_mask / cascade_roi_head.py:473): mask head
+        # per aug on the MERGED detections, sigmoid probs averaged over
+        # augs (merge_aug_masks mean; flip-back happens inside the step)
+        mprobs = [np.asarray(self._tta2_steps[k][2](
+            self.variables, feats, b, fl, dets.boxes, dets.labels))
+            for (k, b, fl), (feats, _, _, _) in zip(aug_runs, stage1)]
+        masks = (np.mean(mprobs, axis=0)
+                 * np.asarray(dets.valid)[:, :, None, None])
+        from .engine.eval import mask_detections_to_per_class
+        from .engine.mask_rcnn import MaskDetections
+
+        md = MaskDetections(np.asarray(dets.boxes), np.asarray(dets.scores),
+                            np.asarray(dets.labels), np.asarray(dets.valid),
+                            np.asarray(dets.anchor_idx), masks)
+        res, segm = mask_detections_to_per_class(md, self.cfg.num_fg_classes)
+        return res[0], segm[0]
 
     def predict_batch(self, images: Sequence[Union[str, np.ndarray]],
                       max_batch: int = 8) -> List[List[np.ndarray]]:

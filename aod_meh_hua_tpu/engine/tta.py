@@ -193,6 +193,127 @@ def make_tta_two_stage_merge(cfg):
     return merge
 
 
+def make_tta_cascade_roi_step(model, cfg, htc: bool = False):
+    """Cascade TTA stage 2 (reference cascade_roi_head.py:420-459
+    aug_test body): map the MERGED original-coord proposals into this
+    aug's frame, run EVERY cascade stage with in-loop refinement
+    (regress_by_class, class-agnostic), average the per-stage raw
+    logits and softmax once (ms_scores sum / get_bboxes), and map the
+    final refined boxes back to original coordinates. With `htc`, each
+    stage's RoI features get the semantic-branch fusion
+    (htc_roi_head.py same flow).
+
+    step(variables, feats, batch, flipped, props_orig, prop_valid) ->
+    (boxes [B, P, 4] original coords (class-agnostic), probs [B, P, C+1])."""
+    from ..ops.bbox import delta_decode
+    from .two_stage import _extract_rois, _roi_stage
+
+    c = cfg.num_classes
+
+    def fn(variables, feats, batch: EvalBatch, flipped, props_orig, prop_valid):
+        props = props_orig * batch.scale_factors[:, None, :]
+        props = _flip_x(props, flipped, batch.img_shapes[:, 1])
+        b, p = props.shape[:2]
+        if htc:
+            from .htc import _sem_roi
+
+            def _sem(m, f):
+                return m.semantic(f)
+
+            _, sem_feat = model.apply(variables, feats, method=_sem)
+        logits_sum = None
+        for stage in range(cfg.num_stages):
+            roi_feats = _extract_rois(cfg, feats, props)
+            if htc:
+                roi_feats = roi_feats + _sem_roi(sem_feat, props,
+                                                 cfg.rcnn.roi_size)
+            cls, reg = model.apply(variables, roi_feats, stage,
+                                   method=_roi_stage)
+            logits_sum = cls if logits_sum is None else logits_sum + cls
+            props = delta_decode(props, reg[:, 0].reshape(b, p, 4),
+                                 stds=cfg.stage_stds[stage],
+                                 max_shape=batch.img_shapes[:, None, :])
+        probs = jax.nn.softmax(logits_sum / cfg.num_stages, axis=-1)
+        probs = probs.reshape(b, p, c + 1)
+        boxes = _flip_x(props, flipped, batch.img_shapes[:, 1])
+        boxes = boxes / batch.scale_factors[:, None, :]
+        return boxes, probs
+
+    return jax.jit(fn)
+
+
+def make_tta_cascade_merge(cfg):
+    """merge_aug_bboxes + final multiclass NMS for the CLASS-AGNOSTIC
+    cascade boxes (merge_augs.py:83 stacks the per-aug recovered boxes
+    over the shared proposal set and MEANS them): boxes [A, B, P, 4],
+    probs [A, B, P, C+1], prop_valid [B, P]."""
+    t = cfg.test
+    c = cfg.num_classes
+
+    @jax.jit
+    def merge(boxes, probs, prop_valid):
+        fg = probs.mean(axis=0)[..., :c] * prop_valid[..., None]
+        return batched_multiclass_nms(
+            boxes.mean(axis=0), fg, t.score_thr, t.nms_iou_thr,
+            t.max_per_img, min(fg.shape[1], t.pre_nms_cands))
+
+    return merge
+
+
+def make_tta_mask_step(model, cfg, htc: bool = False):
+    """One aug's mask forward on the MERGED final detections
+    (test_mixins.py aug_test_mask / cascade_roi_head.py:473-497): map
+    the det boxes into this aug's frame (bbox_mapping), extract mask
+    RoIs on THIS aug's features, run the mask head — every stage when
+    `htc`, sigmoid probs averaged over stages — select the det-label
+    channel, and flip the mask raster back horizontally where the aug
+    was flipped (merge_aug_masks mask[..., ::-1]). The caller averages
+    the returned probs across augs (merge_aug_masks mean).
+
+    step(variables, feats, batch, flipped, det_boxes_orig, det_labels)
+    -> [B, D, s, s] sigmoid probs in un-flipped box-local frame."""
+    c = cfg.num_classes
+
+    from .two_stage import _extract_rois
+
+    def fn(variables, feats, batch: EvalBatch, flipped, det_boxes, det_labels):
+        boxes = det_boxes * batch.scale_factors[:, None, :]
+        boxes = _flip_x(boxes, flipped, batch.img_shapes[:, 1])
+        b, d = boxes.shape[:2]
+        mfeats = _extract_rois(cfg, feats, boxes, roi_size=cfg.mask_roi_size)
+        if htc:
+            from .htc import _sem_roi
+
+            def _sem(m, f):
+                return m.semantic(f)
+
+            def _mask_stage(m, f, stage, res):
+                return m.mask_forward(f, stage, res)
+
+            _, sem_feat = model.apply(variables, feats, method=_sem)
+            mfeats = mfeats + _sem_roi(sem_feat, boxes, cfg.mask_roi_size)
+            res, msum = None, None
+            for stage in range(cfg.num_stages):
+                logit, res = model.apply(variables, mfeats, stage, res,
+                                         method=_mask_stage)
+                prob = jax.nn.sigmoid(logit)
+                msum = prob if msum is None else msum + prob
+            mprob = msum / cfg.num_stages          # [B*D, s, s, C]
+        else:
+            def _mask_fwd(m, f):
+                return m.mask_forward(f)
+
+            mprob = jax.nn.sigmoid(
+                model.apply(variables, mfeats, method=_mask_fwd))
+        lab = jnp.clip(det_labels.reshape(-1), 0, c - 1)
+        sel = jnp.take_along_axis(mprob, lab[:, None, None, None],
+                                  axis=-1)[..., 0]
+        sel = sel.reshape(b, d, sel.shape[-2], sel.shape[-1])
+        return jnp.where(flipped[:, None, None, None], sel[..., ::-1], sel)
+
+    return jax.jit(fn)
+
+
 def canvas_for_scale(img_scale: Tuple[int, int]) -> Tuple[int, int]:
     """Landscape (H, W) canvas bounding every keep_ratio resize to
     img_scale=(long, short), /32-padded — the rule behind the live

@@ -149,7 +149,11 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self._fused_eligible():
+        # Mosaic constraint (measured on v5e, 2026-08-19): the halo DMA
+        # slices x in HBM, and slices along the lane (channel) dim must
+        # be 128-aligned — so the 64-channel stem output (C2 block 0)
+        # cannot take the fused path and falls back to the unfused ops.
+        if self._fused_eligible() and x.shape[-1] % 128 == 0:
             from ..ops.fused_block import fold_bottleneck, fused_bottleneck
 
             cin = x.shape[-1]

@@ -31,6 +31,29 @@ def pytest_configure(config):
         "markers", "full: heavy tests excluded from the smoke tier")
 
 
+# The <10-min smoke tier (VERDICT r3 directive #4): core numerics, the
+# live-pair config loaders, one REAL mini AL CLI run, and one mesh
+# test. Everything else is the `full` tier. Module-level selection so
+# the split is maintained in ONE place; a test inside a smoke module
+# can still opt out with an explicit @pytest.mark.full.
+SMOKE_MODULES = {
+    "test_anchors", "test_bbox", "test_assigner", "test_nms", "test_hua",
+    "test_dirichlet", "test_losses", "test_voc_eval", "test_config",
+    # plus individually-marked tests: test_al_loop.test_al_two_cycles
+    # (one real end-to-end CLI drive) and test_parallel's mesh/launch
+    # quartet (explicit @pytest.mark.smoke markers in those modules)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SMOKE_MODULES and item.get_closest_marker("full") is None:
+            item.add_marker(pytest.mark.smoke)
+        elif item.get_closest_marker("smoke") is None:
+            item.add_marker(pytest.mark.full)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(20)

@@ -29,6 +29,7 @@ def mini_voc(tmp_path_factory):
     return base
 
 
+@pytest.mark.smoke
 def test_al_two_cycles(mini_voc, tmp_path):
     cfg = tiny_test_config()
     tcfg = TrainConfig(batch_size=2, outer_epoch=1, epoch_ratio=(1,), lr=0.01)

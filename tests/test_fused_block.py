@@ -77,3 +77,21 @@ def test_pick_tile_h():
     assert pick_tile_h(256) == 8
     assert pick_tile_h(7) == 7
     assert pick_tile_h(1) == 1
+
+
+def test_unaligned_channels_fall_back_exactly():
+    """Mosaic requires HBM lane-dim slices to be 128-aligned (measured
+    on v5e: the 64-channel stem output crashed the halo DMA), so
+    Bottleneck(fused=True) with cin % 128 != 0 must take the unfused
+    path — same variable tree, identical output."""
+    import jax
+
+    from aod_meh_hua_tpu.models.resnet import Bottleneck
+
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(1, 8, 8, 64).astype(np.float32))
+    m_f = Bottleneck(planes=16, stride=1, downsample=True, fused=True)
+    m_u = Bottleneck(planes=16, stride=1, downsample=True, fused=False)
+    v = m_u.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(
+        np.asarray(m_f.apply(v, x)), np.asarray(m_u.apply(v, x)))

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 
+@pytest.mark.smoke
 def test_mesh_helpers():
     from aod_meh_hua_tpu.parallel import make_mesh, shard_batch, replicate
 
@@ -19,6 +20,7 @@ def test_mesh_helpers():
     assert r["w"].sharding.is_fully_replicated
 
 
+@pytest.mark.smoke
 def test_dryrun_multichip_full_path():
     """The driver's multichip dryrun: sharded train + score on 8 devices."""
     if len(jax.devices()) < 8:
@@ -31,6 +33,7 @@ def test_dryrun_multichip_full_path():
     g.dryrun_multichip(8)  # asserts internally
 
 
+@pytest.mark.smoke
 def test_init_distributed_single_process():
     from aod_meh_hua_tpu.parallel.launch import init_distributed
 
@@ -270,6 +273,7 @@ def test_zoo_families_train_on_mesh():
         assert np.isfinite(float(np.asarray(aux["loss"]))), cfg.family
 
 
+@pytest.mark.smoke
 def test_detect_launch_env_slurm_mpi_pytorch():
     """VERDICT r3 directive #7: rank/world/coordinator autodetected from
     the cluster launcher's env vars, the analog of the reference's
