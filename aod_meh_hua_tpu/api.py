@@ -275,14 +275,18 @@ class Detector:
         scales = [tuple(s) for s in (scales or [self.pipeline.img_scale])]
         flips = [False, True] if flip else [False]
         fam = _family(self.cfg)
-        if fam in ("faster_rcnn", "cascade_rcnn", "htc", "mask_rcnn",
-                   "mask_scoring_rcnn"):
+        if fam in ("faster_rcnn", "cascade_rcnn", "htc", "scnet",
+                   "mask_rcnn", "mask_scoring_rcnn", "point_rend"):
             return self._tta_two_stage(img, scales, flips, fam, return_masks)
+        if fam == "sparse_rcnn":
+            # parity: the reference raises too (sparse_roi_head.py:302)
+            raise NotImplementedError(
+                "Sparse R-CNN does not support `aug_test`")
         if fam not in ("retinanet", "ssd"):
             raise NotImplementedError(
                 f"TTA is implemented for the dense MEH families, "
-                f"faster_rcnn, cascade_rcnn, htc, and the mask families "
-                f"(reference aug_test coverage); got {fam!r}")
+                f"faster_rcnn, cascade_rcnn, htc, scnet, point_rend, and "
+                f"the mask families (reference aug_test coverage); got {fam!r}")
         if not hasattr(self, "_tta_steps"):
             self._tta_steps, self._tta_merge = {}, {}
         aug_boxes, aug_scores = [], []
@@ -335,8 +339,12 @@ class Detector:
                                  make_tta_proposal_merge, make_tta_roi_step,
                                  make_tta_rpn_step, make_tta_two_stage_merge)
 
-        cascade = fam in ("cascade_rcnn", "htc")
-        with_mask = fam in ("mask_rcnn", "mask_scoring_rcnn", "htc")
+        cascade = fam in ("cascade_rcnn", "htc", "scnet")
+        with_mask = fam in ("mask_rcnn", "mask_scoring_rcnn", "htc", "scnet",
+                            "point_rend")
+        sub_fam = {"cascade_rcnn": "cascade", "htc": "htc",
+                   "scnet": "scnet", "point_rend": "point_rend"}.get(
+                       fam, "standard")
         if not hasattr(self, "_tta2_steps"):
             self._tta2_steps = {}
             self._tta2_pmerge = make_tta_proposal_merge(self.cfg)
@@ -356,14 +364,12 @@ class Detector:
                     cfg_s = dataclasses.replace(self.cfg, canvas=canvas) \
                         .for_orientation(s["orientation"])
                     roi_step = (
-                        make_tta_cascade_roi_step(self.model, cfg_s,
-                                                  htc=(fam == "htc"))
+                        make_tta_cascade_roi_step(self.model, cfg_s, sub_fam)
                         if cascade else make_tta_roi_step(self.model, cfg_s))
                     # built whenever the family has masks (jit is lazy,
                     # so an unused step costs nothing) — the step cache
                     # must not depend on this call's return_masks
-                    mask_step = (make_tta_mask_step(self.model, cfg_s,
-                                                    htc=(fam == "htc"))
+                    mask_step = (make_tta_mask_step(self.model, cfg_s, sub_fam)
                                  if with_mask else None)
                     self._tta2_steps[key] = (
                         make_tta_rpn_step(self.model, cfg_s),

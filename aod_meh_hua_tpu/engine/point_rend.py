@@ -260,6 +260,67 @@ def make_point_rend_train_step(model, cfg, tx) -> Callable:
     return step
 
 
+def refine_mask_logits(model, cfg, variables, feats, canvas_boxes, labels):
+    """_mask_point_forward_test (point_rend_roi_head.py:87-123) on det
+    boxes in CANVAS coordinates: coarse mask head + subdivision_steps
+    rounds of x2 upsample + point-head re-prediction at the most
+    uncertain grid cells, refining the det-class channel. Returns the
+    refined LOGIT map [B, D, S*scale^steps, S*scale^steps]. Shared by
+    the eval step and the TTA mask step (aug_test_mask,
+    point_rend_roi_head.py:178-209)."""
+    c = cfg.num_classes
+    s = cfg.mask_size
+    fine_stride = cfg.rcnn.roi_strides[0]
+    scale = cfg.subdivision_scale
+    b, d = canvas_boxes.shape[:2]
+
+    def _mask_fwd(m, f):
+        return m.mask_forward(f)
+
+    def _point_fwd(m, fine, coarse):
+        return m.point_forward(fine, coarse)
+
+    mfeats = jax.vmap(functools.partial(
+        simple_roi_align, size=cfg.mask_roi_size,
+        stride=fine_stride))(feats[0], canvas_boxes)
+    mfeats = mfeats.reshape((-1,) + mfeats.shape[2:])
+    coarse = model.apply(variables, mfeats, method=_mask_fwd)
+    coarse = coarse.reshape(b, d, s, s, c)
+    lab = jnp.clip(labels, 0, c - 1)
+    cur = jnp.take_along_axis(
+        coarse, lab[:, :, None, None, None], axis=-1)[..., 0]  # [B,D,s,s]
+    lab_nd = lab.reshape(b * d)
+
+    for step_i in range(cfg.subdivision_steps):
+        h0, w0 = cur.shape[2], cur.shape[3]
+        h1, w1 = h0 * scale, w0 * scale
+        cur = jax.image.resize(cur, (b, d, h1, w1), method="linear")
+        if (cfg.subdivision_num_points >= scale * scale * h1 * w1
+                and step_i < cfg.subdivision_steps - 1):
+            continue
+        n_ref = min(cfg.subdivision_num_points, h1 * w1)
+        flat = cur.reshape(b * d, h1 * w1)
+        _, idx = jax.lax.top_k(-jnp.abs(flat), n_ref)   # most uncertain
+        px = ((idx % w1).astype(jnp.float32) + 0.5) / w1
+        py = ((idx // w1).astype(jnp.float32) + 0.5) / h1
+        pts = jnp.stack([px, py], axis=-1).reshape(b, d, n_ref, 2)
+        fine = jax.vmap(functools.partial(
+            _sample_points, stride=fine_stride))(
+            feats[0], canvas_boxes, pts)                 # [B, D, n, Cf]
+        cps = _sample_coarse(coarse.reshape(b * d, s, s, c),
+                             pts.reshape(b * d, n_ref, 2))
+        plogits = model.apply(
+            variables, fine.reshape(b * d, n_ref, -1), cps,
+            method=_point_fwd)
+        lsel = jnp.take_along_axis(
+            plogits, jnp.broadcast_to(lab_nd[:, None, None],
+                                      (b * d, n_ref, 1)),
+            axis=-1)[..., 0]                             # [B*D, n]
+        flat = jax.vmap(lambda m, i, v: m.at[i].set(v))(flat, idx, lsel)
+        cur = flat.reshape(b, d, h1, w1)
+    return cur
+
+
 def make_point_rend_eval_step(model, cfg) -> Callable:
     """Box path = Faster R-CNN eval; the coarse 7x7 det-class mask is
     then refined by `subdivision_steps` rounds of x2 upsample +
@@ -304,47 +365,10 @@ def make_point_rend_eval_step(model, cfg) -> Callable:
             t.pre_nms_cands)
         d = dets.boxes.shape[1]
 
-        # ---- coarse mask on the detections (canvas coords) ----
+        # coarse mask + subdivision refinement (shared helper)
         canvas_boxes = dets.boxes * batch.scale_factors[:, None, :]
-        mfeats = jax.vmap(functools.partial(
-            simple_roi_align, size=cfg.mask_roi_size,
-            stride=fine_stride))(feats[0], canvas_boxes)
-        mfeats = mfeats.reshape((-1,) + mfeats.shape[2:])
-        coarse = model.apply(variables, mfeats, method=_mask_fwd)
-        coarse = coarse.reshape(b, d, s, s, c)
-        lab = jnp.clip(dets.labels, 0, c - 1)
-        cur = jnp.take_along_axis(
-            coarse, lab[:, :, None, None, None], axis=-1)[..., 0]  # [B,D,s,s]
-        lab_nd = lab.reshape(b * d)
-
-        # ---- subdivision refinement ----
-        for step_i in range(cfg.subdivision_steps):
-            h0, w0 = cur.shape[2], cur.shape[3]
-            h1, w1 = h0 * scale, w0 * scale
-            cur = jax.image.resize(cur, (b, d, h1, w1), method="linear")
-            if (cfg.subdivision_num_points >= scale * scale * h1 * w1
-                    and step_i < cfg.subdivision_steps - 1):
-                continue
-            n_ref = min(cfg.subdivision_num_points, h1 * w1)
-            flat = cur.reshape(b * d, h1 * w1)
-            _, idx = jax.lax.top_k(-jnp.abs(flat), n_ref)   # most uncertain
-            px = ((idx % w1).astype(jnp.float32) + 0.5) / w1
-            py = ((idx // w1).astype(jnp.float32) + 0.5) / h1
-            pts = jnp.stack([px, py], axis=-1).reshape(b, d, n_ref, 2)
-            fine = jax.vmap(functools.partial(
-                _sample_points, stride=fine_stride))(
-                feats[0], canvas_boxes, pts)                 # [B, D, n, Cf]
-            cps = _sample_coarse(coarse.reshape(b * d, s, s, c),
-                                 pts.reshape(b * d, n_ref, 2))
-            plogits = model.apply(
-                variables, fine.reshape(b * d, n_ref, -1), cps,
-                method=_point_fwd)
-            lsel = jnp.take_along_axis(
-                plogits, jnp.broadcast_to(lab_nd[:, None, None],
-                                          (b * d, n_ref, 1)),
-                axis=-1)[..., 0]                             # [B*D, n]
-            flat = jax.vmap(lambda m, i, v: m.at[i].set(v))(flat, idx, lsel)
-            cur = flat.reshape(b, d, h1, w1)
+        cur = refine_mask_logits(model, cfg, variables, feats,
+                                 canvas_boxes, dets.labels)
 
         masks = jax.nn.sigmoid(cur) * dets.valid[:, :, None, None]
         return MaskDetections(dets.boxes, dets.scores, dets.labels,

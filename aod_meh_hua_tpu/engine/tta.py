@@ -193,15 +193,42 @@ def make_tta_two_stage_merge(cfg):
     return merge
 
 
-def make_tta_cascade_roi_step(model, cfg, htc: bool = False):
+def _cascade_fusion(model, cfg, variables, feats, family: str):
+    """The per-family RoI-feature fusion closure for the cascade TTA
+    steps: HTC adds the semantic branch (htc_roi_head.py), SCNet adds
+    semantic + broadcast global context (scnet_roi_head.py:465-485)."""
+    if family == "cascade":
+        return lambda roi_feats, rois, size: roi_feats
+    from .htc import _sem_roi
+
+    _, sem_feat = model.apply(variables, feats,
+                              method=lambda m, f: m.semantic(f))
+    if family == "htc":
+        return lambda roi_feats, rois, size: (
+            roi_feats + _sem_roi(sem_feat, rois, size))
+    assert family == "scnet", family
+    _, glb = model.apply(variables, feats,
+                         method=lambda m, f: m.glbctx(f))
+
+    def fuse(roi_feats, rois, size):
+        roi_feats = roi_feats + _sem_roi(sem_feat, rois, size)
+        g = jnp.repeat(glb, rois.shape[1], axis=0)
+        return roi_feats + g[:, None, None, :].astype(roi_feats.dtype)
+
+    return fuse
+
+
+def make_tta_cascade_roi_step(model, cfg, family: str = "cascade"):
     """Cascade TTA stage 2 (reference cascade_roi_head.py:420-459
-    aug_test body): map the MERGED original-coord proposals into this
-    aug's frame, run EVERY cascade stage with in-loop refinement
+    aug_test body; htc_roi_head.py:461 / scnet_roi_head.py:450 share
+    the flow): map the MERGED original-coord proposals into this aug's
+    frame, run EVERY cascade stage with in-loop refinement
     (regress_by_class, class-agnostic), average the per-stage raw
     logits and softmax once (ms_scores sum / get_bboxes), and map the
-    final refined boxes back to original coordinates. With `htc`, each
-    stage's RoI features get the semantic-branch fusion
-    (htc_roi_head.py same flow).
+    final refined boxes back to original coordinates. `family` selects
+    the per-stage RoI fusion: htc = semantic branch, scnet = semantic +
+    global context (the SCNet roi head also returns the shared feats,
+    unused here).
 
     step(variables, feats, batch, flipped, props_orig, prop_valid) ->
     (boxes [B, P, 4] original coords (class-agnostic), probs [B, P, C+1])."""
@@ -210,25 +237,24 @@ def make_tta_cascade_roi_step(model, cfg, htc: bool = False):
 
     c = cfg.num_classes
 
+    def _roi_scnet(m, f, s):
+        return m.roi_forward(f, s)
+
     def fn(variables, feats, batch: EvalBatch, flipped, props_orig, prop_valid):
         props = props_orig * batch.scale_factors[:, None, :]
         props = _flip_x(props, flipped, batch.img_shapes[:, 1])
         b, p = props.shape[:2]
-        if htc:
-            from .htc import _sem_roi
-
-            def _sem(m, f):
-                return m.semantic(f)
-
-            _, sem_feat = model.apply(variables, feats, method=_sem)
+        fuse = _cascade_fusion(model, cfg, variables, feats, family)
         logits_sum = None
         for stage in range(cfg.num_stages):
             roi_feats = _extract_rois(cfg, feats, props)
-            if htc:
-                roi_feats = roi_feats + _sem_roi(sem_feat, props,
-                                                 cfg.rcnn.roi_size)
-            cls, reg = model.apply(variables, roi_feats, stage,
-                                   method=_roi_stage)
+            roi_feats = fuse(roi_feats, props, cfg.rcnn.roi_size)
+            if family == "scnet":
+                cls, reg, _ = model.apply(variables, roi_feats, stage,
+                                          method=_roi_scnet)
+            else:
+                cls, reg = model.apply(variables, roi_feats, stage,
+                                       method=_roi_stage)
             logits_sum = cls if logits_sum is None else logits_sum + cls
             props = delta_decode(props, reg[:, 0].reshape(b, p, 4),
                                  stds=cfg.stage_stds[stage],
@@ -260,15 +286,17 @@ def make_tta_cascade_merge(cfg):
     return merge
 
 
-def make_tta_mask_step(model, cfg, htc: bool = False):
+def make_tta_mask_step(model, cfg, family: str = "standard"):
     """One aug's mask forward on the MERGED final detections
-    (test_mixins.py aug_test_mask / cascade_roi_head.py:473-497): map
-    the det boxes into this aug's frame (bbox_mapping), extract mask
-    RoIs on THIS aug's features, run the mask head — every stage when
-    `htc`, sigmoid probs averaged over stages — select the det-label
-    channel, and flip the mask raster back horizontally where the aug
-    was flipped (merge_aug_masks mask[..., ::-1]). The caller averages
-    the returned probs across augs (merge_aug_masks mean).
+    (test_mixins.py aug_test_mask / cascade_roi_head.py:473-497 /
+    scnet_roi_head.py:517-545): map the det boxes into this aug's frame
+    (bbox_mapping), extract mask RoIs on THIS aug's features, run the
+    mask head — every stage for 'htc' (sigmoid probs averaged over
+    stages); with the final-stage relayed bbox feature added for
+    'scnet' — select the det-label channel, and flip the mask raster
+    back horizontally where the aug was flipped (merge_aug_masks
+    mask[..., ::-1]). The caller averages the returned probs across
+    augs (merge_aug_masks mean).
 
     step(variables, feats, batch, flipped, det_boxes_orig, det_labels)
     -> [B, D, s, s] sigmoid probs in un-flipped box-local frame."""
@@ -280,8 +308,21 @@ def make_tta_mask_step(model, cfg, htc: bool = False):
         boxes = det_boxes * batch.scale_factors[:, None, :]
         boxes = _flip_x(boxes, flipped, batch.img_shapes[:, 1])
         b, d = boxes.shape[:2]
+        if family == "point_rend":
+            # coarse mask + point-subdivision refinement per aug
+            # (point_rend_roi_head.py:178-209 aug_test_mask runs
+            # _mask_point_forward_test on each aug's features;
+            # point_rend uses SimpleRoIAlign inside, not the FPN
+            # multi-level extractor)
+            from .point_rend import refine_mask_logits
+
+            cur = refine_mask_logits(model, cfg, variables, feats,
+                                     boxes, det_labels)
+            sel = jax.nn.sigmoid(cur)
+            return jnp.where(flipped[:, None, None, None],
+                             sel[..., ::-1], sel)
         mfeats = _extract_rois(cfg, feats, boxes, roi_size=cfg.mask_roi_size)
-        if htc:
+        if family == "htc":
             from .htc import _sem_roi
 
             def _sem(m, f):
@@ -299,6 +340,21 @@ def make_tta_mask_step(model, cfg, htc: bool = False):
                 prob = jax.nn.sigmoid(logit)
                 msum = prob if msum is None else msum + prob
             mprob = msum / cfg.num_stages          # [B*D, s, s, C]
+        elif family == "scnet":
+            # relayed feature from a final-stage bbox forward over the
+            # det boxes (scnet_roi_head.py:529-536), then one mask pass
+            fuse = _cascade_fusion(model, cfg, variables, feats, "scnet")
+            roi_feats = _extract_rois(cfg, feats, boxes)
+            roi_feats = fuse(roi_feats, boxes, cfg.rcnn.roi_size)
+            _, _, shared = model.apply(
+                variables, roi_feats, cfg.num_stages - 1,
+                method=lambda m, f, s: m.roi_forward(f, s))
+            relayed = model.apply(variables, shared,
+                                  method=lambda m, x: m.relay(x))
+            mfeats = fuse(mfeats, boxes, cfg.mask_roi_size)
+            mfeats = mfeats + relayed.astype(mfeats.dtype)
+            mprob = jax.nn.sigmoid(model.apply(
+                variables, mfeats, method=lambda m, f: m.mask_forward(f)))
         else:
             def _mask_fwd(m, f):
                 return m.mask_forward(f)

@@ -51,6 +51,8 @@ class MEHRetinaNet(nn.Module):
             int8=getattr(self.cfg, "backbone_int8", False),
             conv1x1_matmul=getattr(self.cfg, "conv1x1_matmul", False),
             fused_blocks=getattr(self.cfg, "fused_blocks", False),
+            stage_fused=getattr(self.cfg, "fused_stages",
+                                (True, True, False, False)),
             dtype=dtype, name="backbone",
         )
         self.neck = FPN(out_channels=self.cfg.fpn_channels, start_level=1,

@@ -123,6 +123,9 @@ class RetinaNetConfig:
     # tree). SCORING/EVAL ONLY — the kernel defines no VJP. Takes
     # precedence over conv1x1_matmul/backbone_int8 inside fused blocks.
     fused_blocks: bool = False
+    # which backbone stages the fused path covers when fused_blocks is
+    # on (stride-1, >=128-channel blocks only; see models/resnet.py)
+    fused_stages: Tuple[bool, ...] = (True, True, False, False)
     test: TestCfg = field(default_factory=TestCfg)
     hua: HUACfg = field(default_factory=HUACfg)
 

@@ -134,3 +134,52 @@ def test_mask_flip_geometry(mask_det):
     a = run(img, True, det)            # flipped aug, internal flip-back
     b = run(img[:, ::-1], False, mdet)  # same pixels, plain mapping
     np.testing.assert_allclose(a, b[..., ::-1], rtol=1e-4, atol=1e-5)
+
+
+def test_scnet_tta_full_flow():
+    """SCNet aug_test (scnet_roi_head.py:450-545): cascade TTA with
+    semantic + global-context fusion per stage, mask pass with the
+    final-stage relayed bbox feature."""
+    from aod_meh_hua_tpu.utils.config import tiny_scnet_config
+
+    det = _detector(tiny_scnet_config())
+    cfg = det.cfg
+    img = np.random.RandomState(13).randint(0, 255, (60, 110, 3), np.uint8)
+    res, segm = det.tta(img, scales=[(120, 60)], flip=True,
+                        return_masks=True)
+    _check_boxes(res, cfg.num_fg_classes, 110, 60)
+    for boxes_c, masks_c in zip(res, segm):
+        assert len(masks_c) == len(boxes_c)
+        if len(masks_c):
+            assert masks_c.shape[1:] == (cfg.mask_size, cfg.mask_size)
+
+
+def test_point_rend_tta_full_flow():
+    """PointRend aug_test_mask (point_rend_roi_head.py:178-209): box
+    TTA = standard two-stage; the mask pass runs the coarse head +
+    point-subdivision refinement per aug and averages sigmoid probs."""
+    from aod_meh_hua_tpu.utils.config import tiny_point_rend_config
+
+    det = _detector(tiny_point_rend_config())
+    cfg = det.cfg
+    img = np.random.RandomState(14).randint(0, 255, (60, 110, 3), np.uint8)
+    res, segm = det.tta(img, scales=[(120, 60)], flip=True,
+                        return_masks=True)
+    _check_boxes(res, cfg.num_fg_classes, 110, 60)
+    refined = cfg.mask_size * (cfg.subdivision_scale ** cfg.subdivision_steps)
+    for boxes_c, masks_c in zip(res, segm):
+        assert len(masks_c) == len(boxes_c)
+        if len(masks_c):
+            assert masks_c.shape[1:] == (refined, refined)
+            assert (masks_c >= 0).all() and (masks_c <= 1).all()
+
+
+def test_sparse_rcnn_tta_raises_like_reference():
+    """Parity: the reference's SparseRoIHead.aug_test raises
+    NotImplementedError (sparse_roi_head.py:301-302)."""
+    from aod_meh_hua_tpu.utils.config import tiny_sparse_rcnn_config
+
+    det = _detector(tiny_sparse_rcnn_config())
+    img = np.zeros((40, 60, 3), np.uint8)
+    with pytest.raises(NotImplementedError, match="Sparse R-CNN"):
+        det.tta(img)
