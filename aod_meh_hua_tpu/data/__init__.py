@@ -16,6 +16,8 @@ from .lvis import LVISDataset, eval_lvis_map
 from .extra_datasets import (DEEPFASHION_CLASSES, DeepFashionDataset,
                              WIDERFaceDataset)
 from .wrappers import ClassBalancedDataset
+from .instaboost import instaboost, instaboost_from_cfg
+from .albu import Albu, albu_from_cfg
 from .splits import (init_split, init_split_all, init_split_disjoint,
                      init_split_double, update_labeled_set,
                      update_labeled_set_plain, update_labeled_set_reselect,
