@@ -153,7 +153,7 @@ def test_package_and_load_archive(tmp_path):
     out = _run(["tools/deployment/package_model.py", art,
                 "--output-folder", str(tmp_path / "store"),
                 "--model-name", "retina_mini", "--voc-classes",
-                "--score-thr", "0.4"])
+                "--score-thr", "0.4", "--mini", "--batch", "1"])
     assert "packaged ->" in out
     tar_path = str(tmp_path / "store" / "retina_mini.tar")
     assert os.path.exists(tar_path)
@@ -189,3 +189,25 @@ def test_package_and_load_archive(tmp_path):
                       jnp.ones(1, dtype=bool))
     dets = programs["landscape"].call(batch)
     assert np.asarray(dets.boxes).ndim == 3  # [b, max_per_img, 4]
+
+    # --- serve from the archive: ArchiveDetector (serve.py --archive),
+    # incl. the portrait -> landscape letterbox fallback (only a
+    # landscape artifact was packaged)
+    import importlib.util
+
+    assert manifest["geometry"]["batch"] == 1
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod_arch", os.path.join(REPO, "tools", "deployment",
+                                       "serve.py"))
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+    det = serve_mod.ArchiveDetector(tar_path)
+    rng = np.random.RandomState(0)
+    land = rng.randint(0, 255, (60, 100, 3), np.uint8)
+    port = rng.randint(0, 255, (100, 60, 3), np.uint8)
+    per = det.predict_batch([land, port])
+    assert len(per) == 2
+    for per_class in per:
+        assert len(per_class) == manifest["geometry"]["num_fg_classes"]
+        for arr in per_class:
+            assert arr.ndim == 2 and arr.shape[1] == 5

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 def package(artifact: str, output_folder: str, model_name: str,
             family: str = "retinanet", model_version: str = "1.0",
             score_thr: float = 0.5, artifact_portrait: str = None,
-            classes=None, force: bool = False) -> str:
+            classes=None, geometry: dict = None, force: bool = False) -> str:
     """Write {output_folder}/{model_name}.tar; returns its path."""
     os.makedirs(output_folder, exist_ok=True)
     out = os.path.join(output_folder, f"{model_name}.tar")
@@ -50,6 +50,10 @@ def package(artifact: str, output_folder: str, model_name: str,
     }
     if artifact_portrait:
         manifest["artifacts"]["portrait"] = "model_portrait.bin"
+    if geometry:
+        # everything a serving host needs to preprocess without the
+        # framework: canvas/img_scale/batch/normalization/num_classes
+        manifest["geometry"] = geometry
     with tarfile.open(out, "w") as tf:
         blob = json.dumps(manifest, indent=2).encode()
         info = tarfile.TarInfo("MANIFEST.json")
@@ -108,6 +112,10 @@ def main():
     ap.add_argument("--score-thr", type=float, default=0.5)
     ap.add_argument("--voc-classes", action="store_true",
                     help="embed the VOC class list in the manifest")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch size the artifact was exported with")
+    ap.add_argument("--mini", action="store_true",
+                    help="tiny-config geometry (smoke/test mode)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -115,13 +123,38 @@ def main():
     if args.voc_classes:
         from aod_meh_hua_tpu.data import VOC_CLASSES
         classes = VOC_CLASSES
+    from aod_meh_hua_tpu.utils.config import (RetinaNetConfig, SSDConfig,
+                                              ZOO_FAMILIES, tiny_test_config)
+    if args.mini:
+        cfg = tiny_test_config()
+    elif args.family == "retinanet":
+        cfg = RetinaNetConfig()
+    elif args.family == "ssd":
+        cfg = SSDConfig()
+    else:
+        cfg = ZOO_FAMILIES[args.family][0]()
+    import dataclasses
+
+    from aod_meh_hua_tpu.api import _default_pipeline
+    from aod_meh_hua_tpu.data.pipeline import PipelineConfig
+    pipe = (PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+            if args.mini else _default_pipeline(cfg))
+    # exported programs are traced on float32 canvases (export_model.py)
+    pipe = dataclasses.replace(pipe, device_normalize=False)
+    geometry = {
+        "canvas": list(pipe.canvas), "img_scale": list(pipe.img_scale),
+        "keep_ratio": pipe.keep_ratio, "batch": args.batch,
+        "mean": list(pipe.mean), "std": list(pipe.std),
+        "to_rgb": pipe.to_rgb, "flip_ratio": 0.0,
+        "num_fg_classes": cfg.num_fg_classes,
+    }
     name = args.model_name or os.path.splitext(
         os.path.basename(args.artifact))[0]
     out = package(args.artifact, args.output_folder, name,
                   family=args.family, model_version=args.model_version,
                   score_thr=args.score_thr,
                   artifact_portrait=args.artifact_portrait,
-                  classes=classes, force=args.force)
+                  classes=classes, geometry=geometry, force=args.force)
     print(f"packaged -> {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
 
 

@@ -62,6 +62,92 @@ def build_detector(args):
     return Detector(cfg, model, variables, pipeline=pipeline)
 
 
+class ArchiveDetector:
+    """Serve straight from a package_model.py archive: the program is a
+    deserialized jax.export artifact (weights baked in), preprocessing
+    geometry comes from the MANIFEST — no checkpoint/config files, the
+    torchserve `.mar` consumption model. Exposes the same
+    predict_batch(images) surface the Batcher drives."""
+
+    def __init__(self, archive_path: str):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        try:
+            from package_model import load_archive
+        finally:
+            sys.path.pop(0)
+        self.manifest, self.programs = load_archive(archive_path)
+        geo = self.manifest.get("geometry")
+        if not geo:
+            raise ValueError("archive manifest has no geometry block; "
+                             "re-package with the current package_model.py")
+        self.geo = geo
+        self.batch = int(geo["batch"])
+        self.num_fg = int(geo["num_fg_classes"])
+
+    def _prepare(self, img, canvas_hw):
+        """Fit-resize + normalize + pad into the given canvas. Unlike
+        prepare_sample this also bounds the resize by the canvas itself,
+        so a portrait image can be letterboxed into the LANDSCAPE
+        program when no portrait artifact was packaged."""
+        import cv2
+
+        geo = self.geo
+        h0, w0 = img.shape[:2]
+        ch, cw = canvas_hw
+        if geo["keep_ratio"]:
+            long_e = max(geo["img_scale"])
+            short_e = min(geo["img_scale"])
+            sf = min(long_e / max(h0, w0), short_e / min(h0, w0),
+                     ch / h0, cw / w0)
+            new_h, new_w = int(h0 * sf + 0.5), int(w0 * sf + 0.5)
+        else:
+            new_h, new_w = ch, cw
+        resized = cv2.resize(img, (new_w, new_h),
+                             interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        if geo["to_rgb"]:
+            resized = resized[..., ::-1]
+        resized = (resized - np.asarray(geo["mean"], np.float32)) \
+            / np.asarray(geo["std"], np.float32)
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:new_h, :new_w] = resized
+        scale = np.array([new_w / w0, new_h / h0] * 2, np.float32)
+        return canvas, np.array([new_h, new_w], np.int32), scale
+
+    def predict_batch(self, images, max_batch: int = 8):
+        from aod_meh_hua_tpu.engine import EvalBatch, detections_to_per_class
+
+        results = [None] * len(images)
+        groups = {}
+        for idx, img in enumerate(images):
+            h0, w0 = img.shape[:2]
+            orient = "landscape" if w0 / h0 > 1 else "portrait"
+            if orient not in self.programs:
+                orient = "landscape"  # letterbox fallback (_prepare)
+            groups.setdefault(orient, []).append(idx)
+        ch, cw = self.geo["canvas"]
+        for orient, idxs in groups.items():
+            canvas_hw = (ch, cw) if orient == "landscape" else (cw, ch)
+            prog = self.programs[orient]
+            for lo in range(0, len(idxs), self.batch):
+                chunk = idxs[lo:lo + self.batch]
+                prepped = [self._prepare(images[i], canvas_hw)
+                           for i in chunk]
+                pad = self.batch - len(chunk)
+                imgs = np.stack([p[0] for p in prepped]
+                                + [prepped[0][0]] * pad)
+                shapes = np.stack([p[1] for p in prepped]
+                                  + [prepped[0][1]] * pad)
+                scales = np.stack([p[2] for p in prepped]
+                                  + [prepped[0][2]] * pad)
+                bvalid = np.arange(self.batch) < len(chunk)
+                dets = prog.call(EvalBatch(imgs, shapes, scales, bvalid))
+                per = detections_to_per_class(dets, self.num_fg,
+                                              batch_valid=bvalid)
+                for j, i in enumerate(chunk):
+                    results[i] = per[j]
+        return results
+
+
 def decode_image(body: bytes):
     """Raw image bytes, or base64 of the same (mmdet_handler.py:33-38)."""
     import cv2
@@ -178,6 +264,9 @@ def main():
     ap.add_argument("--family", default="retinanet",
                     choices=sorted(ALL_FAMILIES))
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--archive", default=None,
+                    help="serve a package_model.py archive instead of "
+                         "(family, checkpoint) — the .mar consumption mode")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--score-thr", type=float, default=0.5)
     ap.add_argument("--cpu", action="store_true")
@@ -203,15 +292,22 @@ def main():
 
     from aod_meh_hua_tpu.data.voc import VOC_CLASSES
 
-    detector = build_detector(args)
-    classes = VOC_CLASSES[: detector.cfg.num_fg_classes]
-    if args.warmup:
-        h, w = detector.cfg.canvas
-        dummy = np.zeros((min(600, h), min(1000, w), 3), np.uint8)
-        detector.predict_batch([dummy], max_batch=args.max_batch)
-        print("warmup compile done", flush=True)
+    if args.archive:
+        detector = ArchiveDetector(args.archive)
+        classes = (detector.manifest.get("classes")
+                   or VOC_CLASSES[: detector.num_fg])
+        max_batch = detector.batch  # the exported program's fixed shape
+    else:
+        detector = build_detector(args)
+        classes = VOC_CLASSES[: detector.cfg.num_fg_classes]
+        max_batch = args.max_batch
+        if args.warmup:
+            h, w = detector.cfg.canvas
+            dummy = np.zeros((min(600, h), min(1000, w), 3), np.uint8)
+            detector.predict_batch([dummy], max_batch=max_batch)
+            print("warmup compile done", flush=True)
 
-    batcher = Batcher(detector, max_batch=args.max_batch,
+    batcher = Batcher(detector, max_batch=max_batch,
                       delay_ms=args.batch_delay_ms)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(batcher, classes, args.score_thr))
