@@ -199,6 +199,26 @@ class Albu:
         return img, new_ann
 
 
+# the exact transform list of the reference's one albu config
+# (configs/albu_example/mask_rcnn_r50_fpn_albu_1x_coco.py:4-42)
+ALBU_EXAMPLE_TRANSFORMS = [
+    dict(type="ShiftScaleRotate", shift_limit=0.0625, scale_limit=0.0,
+         rotate_limit=0, interpolation=1, p=0.5),
+    dict(type="RandomBrightnessContrast", brightness_limit=[0.1, 0.3],
+         contrast_limit=[0.1, 0.3], p=0.2),
+    dict(type="OneOf", transforms=[
+        dict(type="RGBShift", r_shift_limit=10, g_shift_limit=10,
+             b_shift_limit=10, p=1.0),
+        dict(type="HueSaturationValue", hue_shift_limit=20,
+             sat_shift_limit=30, val_shift_limit=20, p=1.0)], p=0.1),
+    dict(type="JpegCompression", quality_lower=85, quality_upper=95, p=0.2),
+    dict(type="ChannelShuffle", p=0.1),
+    dict(type="OneOf", transforms=[
+        dict(type="Blur", blur_limit=3, p=1.0),
+        dict(type="MedianBlur", blur_limit=3, p=1.0)], p=0.1),
+]
+
+
 def albu_from_cfg(cfg: dict) -> Albu:
     """Build from a reference pipeline dict: dict(type='Albu',
     transforms=[...], bbox_params=..., keymap=..., ...) — the keymap is

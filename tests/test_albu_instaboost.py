@@ -2,6 +2,11 @@
 optional pip packages: mmdet/datasets/pipelines/instaboost.py:25-33,
 transforms.py:1282; here they are implemented in-tree)."""
 
+import json
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -205,3 +210,28 @@ def test_albu_compose_reference_config_and_filtering():
                 masks=[[[100.0, 70, 126, 70, 126, 94, 100, 94]]])
     _, dropped = big(img2, ann2, MaxShift())
     assert len(dropped["labels"]) == 0 and len(dropped["masks"]) == 0
+
+
+@pytest.mark.full
+def test_train_detector_cli_instaboost_albu(tmp_path):
+    """Both augmentations reachable from the real CLI on a mask family
+    (the reference applies InstaBoost to COCO mask configs,
+    configs/instaboost/mask_rcnn_r50_fpn_instaboost_4x_coco.py)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        from test_coco import make_coco
+    finally:
+        sys.path.pop(0)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    ann_path, img_dir = make_coco(str(tmp_path / "coco"), n=4, seed=5)
+    work = str(tmp_path / "work")
+    r = subprocess.run(
+        [sys.executable, "tools/train_detector.py", "--family", "mask_rcnn",
+         "--mini", "--cpu", "--coco-train", ann_path, "--coco-val", ann_path,
+         "--coco-img-prefix", img_dir, "--work-dir", work, "--epochs", "1",
+         "--instaboost", "--albu"],
+        capture_output=True, text=True, cwd=repo, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads(open(os.path.join(work, "train_log.jsonl")).read()
+                     .splitlines()[0])
+    assert np.isfinite(row["loss"])

@@ -98,6 +98,14 @@ def parse_args():
                     choices=["coco", "lvis"],
                     help="JSON flavor for --coco-train/--coco-val: plain "
                          "COCO or LVIS v1 (coco_url names, federated eval)")
+    ap.add_argument("--instaboost", action="store_true",
+                    help="InstaBoost copy-paste augmentation with the "
+                         "reference configs' settings (data/instaboost.py; "
+                         "needs a mask-bearing dataset, like the reference's "
+                         "configs/instaboost/ COCO mask families)")
+    ap.add_argument("--albu", action="store_true",
+                    help="the albu_example transform chain "
+                         "(data/albu.py ALBU_EXAMPLE_TRANSFORMS)")
     ap.add_argument("--teacher-ckpt", default=None,
                     help="ld: GFL teacher checkpoint (the reference's "
                          "teacher_ckpt, kd_one_stage.py); defaults to a "
@@ -528,12 +536,35 @@ def main():
         prop_npz_val = (np.load(args.proposal_file_val)
                         if args.proposal_file_val else prop_npz)
         proposal_source = lambda i: prop_npz[str(i)][:, :4]
+    augment_fn = None
+    if args.instaboost or args.albu:
+        fns = []
+        if args.instaboost:
+            from aod_meh_hua_tpu.data import instaboost_from_cfg
+            fns.append(instaboost_from_cfg(dict(
+                action_candidate=("normal", "horizontal", "skip"),
+                action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                theta=(-1, 1), color_prob=0.5, hflag=False, aug_ratio=0.5)))
+        if args.albu:
+            from aod_meh_hua_tpu.data import albu_from_cfg
+            from aod_meh_hua_tpu.data.albu import ALBU_EXAMPLE_TRANSFORMS
+            fns.append(albu_from_cfg(dict(
+                type="Albu", transforms=ALBU_EXAMPLE_TRANSFORMS,
+                bbox_params=dict(min_visibility=0.0,
+                                 filter_lost_elements=True))))
+
+        def augment_fn(img, ann, rng, _fns=tuple(fns)):
+            for f in _fns:
+                img, ann = f(img, ann, rng)
+            return img, ann
+
     loader = TrainLoader(train_set, np.arange(len(train_set)), cfg, pipe,
                          batch_size=args.batch_size, seed=args.seed,
                          with_masks=(args.family in ("mask_rcnn",
                                                      "mask_scoring_rcnn",
                                                      "yolact",
                                                      "point_rend")),
+                         augment_fn=augment_fn,
                          proposal_source=proposal_source)
     eval_steps = {}
     key = jax.random.PRNGKey(args.seed)
