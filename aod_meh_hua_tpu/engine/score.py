@@ -28,6 +28,7 @@ from ..ops.hua import hua_object_scores, hua_scale_scores, object_membership, pa
 from ..ops.nms import batched_multiclass_nms
 from ..utils.config import RetinaNetConfig
 from .batch import EvalBatch, prepare_images, ConstArg
+from .jit_options import score_step_compiler_options
 from .postprocess import make_candidate_selector
 
 
@@ -107,7 +108,8 @@ def make_output_scorer(cfg: RetinaNetConfig) -> Callable:
     """
     select, anchors_host = make_candidate_selector(cfg)
     core = make_nms_output_core(cfg, select)
-    jfn = jax.jit(core)
+    jfn = jax.jit(core,
+                  compiler_options=score_step_compiler_options())
     anchors_arg = ConstArg(anchors_host)
 
     def step(cls_scores, bbox_preds, lambdas, img_shapes, scale_factors,
@@ -179,7 +181,7 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
         fn = score_scale
     else:
         raise ValueError(f"score step does not handle pool {hua.pool!r}")
-    jfn = jax.jit(fn)
+    jfn = jax.jit(fn, compiler_options=score_step_compiler_options())
     anchors_arg = ConstArg(anchors_host)
 
     # anchors ride as an argument, not a baked constant — see
