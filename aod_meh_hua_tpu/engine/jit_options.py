@@ -31,6 +31,14 @@ def score_step_compiler_options() -> Optional[Dict[str, str]]:
     if kib == "0":
         return None
     try:
+        # jax_platforms can be flipped to "cpu" AFTER the TPU backend
+        # initialized (dryrun_multichip does exactly this to build a
+        # virtual CPU mesh inside a TPU-attached process); in that mixed
+        # state default_backend() still says "tpu" while every compile
+        # targets CPU — honour the config value first.
+        platforms = jax.config.jax_platforms
+        if platforms and "tpu" not in platforms:
+            return None
         if jax.default_backend() != "tpu":
             return None
     except Exception:  # pragma: no cover - backend probing failed

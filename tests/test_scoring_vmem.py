@@ -38,8 +38,26 @@ def test_env_override_value(monkeypatch):
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(type(jax.config), "jax_platforms", "tpu",
+                        raising=False)
     opts = jit_options.score_step_compiler_options()
     assert opts == {"xla_tpu_scoped_vmem_limit_kib": "12345"}
+
+
+def test_mixed_state_platforms_cpu_wins(monkeypatch):
+    """dryrun_multichip flips jax_platforms to 'cpu' AFTER a TPU backend
+    may have initialized; default_backend() can still say 'tpu' in that
+    mixed state while every compile targets CPU. The config value must
+    win — otherwise the driver's multichip dryrun dies with 'No such
+    compile option' (regression, 2026-08-19)."""
+    import jax
+
+    from aod_meh_hua_tpu.engine import jit_options
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # conftest already runs with jax_platforms == "cpu"
+    assert jax.config.jax_platforms and "tpu" not in jax.config.jax_platforms
+    assert jit_options.score_step_compiler_options() is None
 
 
 def test_score_step_runs_with_gated_option():
