@@ -380,15 +380,24 @@ class ALDriver:
         loader = EvalLoader(self.val, idx, self.pipeline,
                             batch_size=self.al.score_batch_size,
                             cache=self._canvas_cache("val", self.val))
-        shard = (lambda b: b)
         if mesh is not None:
             from ..parallel import shard_batch
 
             shard = lambda b: shard_batch(b, mesh)
+        else:
+            shard = jax.device_put  # async: overlaps H2D with the step
         results, annotations = [], []
         order = []
-        for orientation, batch, bidx in loader:
-            dets = self._eval_step(orientation)(svars, shard(batch))
+        # one-batch lookahead: upload k+1 while k's detections transfer
+        # back and convert (same structure as al.uncertainty.score_pool)
+        it = iter(loader)
+        cur = next(it, None)
+        cur = (cur[0], shard(cur[1]), cur[2]) if cur is not None else None
+        while cur is not None:
+            orientation, batch, bidx = cur
+            dets = self._eval_step(orientation)(svars, batch)
+            cur = next(it, None)
+            cur = (cur[0], shard(cur[1]), cur[2]) if cur is not None else None
             results.extend(detections_to_per_class(dets, self.cfg.num_classes,
                                                    np.asarray(batch.valid)))
             order.extend(bidx.tolist())

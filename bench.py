@@ -56,16 +56,27 @@ def probe_env(args):
     except OSError:
         env["compile_cache_entries_at_start"] = 0
 
-    # H2D wire bandwidth: 32 MB uint8, best-of-3 (the e2e sweep ships
-    # ~119 MB/batch of uint8 canvases; this is its speed limit)
-    buf = np.zeros((32 << 20,), np.uint8)
+    # H2D wire bandwidth, 32 MB uint8. TWO figures: re-putting the SAME
+    # buffer rides the relay's journal dedupe/compression (measured 10-60x
+    # faster than new content — the r3 artifacts' single h2d number was
+    # this flattering one), while FRESH random buffers measure what the
+    # e2e sweep actually pays per batch of never-seen canvases.
+    rng = np.random.RandomState(0)
+    buf = rng.randint(0, 256, (32 << 20,), dtype=np.uint8)
     jax.block_until_ready(jax.device_put(buf))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(buf))
         best = min(best, time.perf_counter() - t0)
-    env["h2d_mb_s"] = round(32 / best, 1)
+    env["h2d_mb_s_repeat"] = round(32 / best, 1)
+    best = float("inf")
+    for _ in range(3):
+        fresh = rng.randint(0, 256, (32 << 20,), dtype=np.uint8)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(fresh))
+        best = min(best, time.perf_counter() - t0)
+    env["h2d_mb_s_fresh"] = round(32 / best, 1)
 
     # round-trip latency, then dispatch mode: chain 10 dependent tiny
     # ops with ONE final fetch — async relay pays ~1 round trip total,

@@ -29,7 +29,11 @@ import numpy as np
 PRESETS = {
     "baseline": None,
     "vmem16m": {"xla_tpu_scoped_vmem_limit_kib": "16384"},
+    "vmem24m": {"xla_tpu_scoped_vmem_limit_kib": "24576"},
+    "vmem28m": {"xla_tpu_scoped_vmem_limit_kib": "28672"},
     "vmem32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "vmem36m": {"xla_tpu_scoped_vmem_limit_kib": "36864"},
+    "vmem40m": {"xla_tpu_scoped_vmem_limit_kib": "40960"},
     "vmem48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
     "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
 }
@@ -41,6 +45,10 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--family", default="retinanet",
+                    choices=["retinanet", "ssd"],
+                    help="which live family's scoring step to time "
+                         "(the SSD step never had its own vmem sweep)")
     args = ap.parse_args()
 
     opts = (PRESETS[args.which] if args.which in PRESETS
@@ -56,11 +64,19 @@ def main():
         jax.jit = functools.partial(jax.jit, compiler_options=opts)
 
     from aod_meh_hua_tpu.engine import EvalBatch, make_score_step
-    from aod_meh_hua_tpu.models import init_retinanet
-    from aod_meh_hua_tpu.utils.config import RetinaNetConfig
 
-    cfg = RetinaNetConfig(compute_dtype=args.dtype)
-    model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+    if args.family == "ssd":
+        from aod_meh_hua_tpu.models import init_ssd
+        from aod_meh_hua_tpu.utils.config import SSDConfig
+
+        cfg = SSDConfig(compute_dtype=args.dtype)
+        model, variables = init_ssd(cfg, jax.random.PRNGKey(0))
+    else:
+        from aod_meh_hua_tpu.models import init_retinanet
+        from aod_meh_hua_tpu.utils.config import RetinaNetConfig
+
+        cfg = RetinaNetConfig(compute_dtype=args.dtype)
+        model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
     step = make_score_step(model, cfg)
     h, w = cfg.canvas
     b = args.batch
@@ -86,7 +102,8 @@ def main():
     t0 = time.perf_counter()
     chained(args.iters)
     dt = time.perf_counter() - t0
-    print(json.dumps({"which": args.which, "options": opts,
+    print(json.dumps({"which": args.which, "family": args.family,
+                      "options": opts,
                       "img_s": round(b * args.iters / dt, 2)}))
 
 
