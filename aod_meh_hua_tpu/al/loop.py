@@ -82,6 +82,7 @@ class ALDriver:
         coordinator: Optional[str] = None,
         num_processes: Optional[int] = None,
         process_id: Optional[int] = None,
+        fsdp: int = 1,
     ):
         """num_devices > 1 runs data-parallel over a 'data' mesh: params
         replicated, train batches and pool-scoring batches sharded on the
@@ -107,7 +108,15 @@ class ALDriver:
         (apis/test.py:197-315). Loaders stay bit-identical across ranks
         (same seeds), so the global train batch is assembled from
         identical host copies and the selection matches the
-        single-process run exactly. Only rank 0 writes artifacts."""
+        single-process run exactly. Only rank 0 writes artifacts.
+
+        fsdp > 1 folds the mesh to 2D (num_devices/fsdp, fsdp) =
+        ('data', 'fsdp') and ZeRO-3-shards params + optimizer state over
+        the 'fsdp' axis (parallel/mesh.py shard_params_fsdp): GSPMD
+        all-gathers weights at use and reduce-scatters grads. Beyond the
+        reference (DDP-only); useful when a family's params + momentum
+        don't fit one chip's HBM. Batches stay sharded on 'data', so
+        global batch sizes must divide num_devices/fsdp."""
         self.cfg = model_cfg
         self.tcfg = train_cfg
         self.al = al_cfg
@@ -151,20 +160,32 @@ class ALDriver:
         self.is_main = self.proc_id == 0
 
         self.mesh = None
+        self.fsdp = max(1, int(fsdp))
         self._local_mesh_built = False
         self._local_mesh = None
+        if self.fsdp > 1 and (num_devices is None or num_devices <= 1):
+            raise ValueError("fsdp > 1 requires num_devices > 1")
+        if self.fsdp > 1 and self.proc_count > 1:
+            # checkpointing np.asarray's the state; cross-process shards
+            # aren't host-addressable. Gather-on-save is the missing piece.
+            raise NotImplementedError("fsdp with multi-host not supported yet")
         if num_devices is not None and num_devices > 1:
-            from ..parallel import make_mesh
+            from ..parallel import make_mesh, make_mesh_2d
 
-            if train_cfg.batch_size % num_devices:
+            if num_devices % self.fsdp:
+                raise ValueError(f"num_devices {num_devices} not divisible "
+                                 f"by fsdp {self.fsdp}")
+            n_data = num_devices // self.fsdp
+            if train_cfg.batch_size % n_data:
                 raise ValueError(
                     f"global batch_size {train_cfg.batch_size} not divisible "
-                    f"by num_devices {num_devices}")
-            if al_cfg.score_batch_size % num_devices:
+                    f"by the data axis ({n_data} = num_devices/fsdp)")
+            if al_cfg.score_batch_size % n_data:
                 raise ValueError(
                     f"score_batch_size {al_cfg.score_batch_size} not divisible "
-                    f"by num_devices {num_devices}")
-            self.mesh = make_mesh(num_devices)
+                    f"by the data axis ({n_data} = num_devices/fsdp)")
+            self.mesh = (make_mesh_2d(n_data, self.fsdp) if self.fsdp > 1
+                         else make_mesh(num_devices))
 
         datasets = [VOCDataset(paths.trainval07, paths.voc07)]
         if paths.voc12:
@@ -216,8 +237,14 @@ class ALDriver:
         return shard_batch(batch, self.mesh)
 
     def _replicate(self, state):
+        """Place train state on the mesh: replicated (DP), or ZeRO-3
+        sharded over 'fsdp' when the mesh carries that axis."""
         if self.mesh is None:
             return state
+        if self.fsdp > 1:
+            from ..parallel import shard_params_fsdp
+
+            return shard_params_fsdp(state, self.mesh)
         from ..parallel import replicate
 
         return replicate(state, self.mesh)

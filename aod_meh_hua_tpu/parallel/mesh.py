@@ -5,10 +5,13 @@ MMDistributedDataParallel (apis/train_Lambda.py:40, apis/train.py:75-85),
 init_dist launchers (tools/train_RetinaNet.py:68,117-123), and
 core/utils/dist_utils.py collectives.
 
-Data-parallel only — the reference implements exactly DP (SURVEY.md
-section 2.10); the models are far below the scale where TP/PP pay off.
-Scale-out axes: the train batch and the unlabeled pool (score batches),
-both sharded on the single 'data' axis.
+Two strategies: data-parallel (the reference implements exactly DP,
+SURVEY.md section 2.10 — scale-out axes are the train batch and the
+unlabeled pool, sharded on 'data') and, beyond the reference, ZeRO-3
+parameter sharding on a second 'fsdp' mesh axis (shard_params_fsdp below)
+for families whose params + momentum outgrow one chip's HBM. TP/PP are
+deliberately absent: these models are far below the scale where they
+pay off.
 """
 
 from __future__ import annotations
@@ -68,3 +71,61 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = NamedSharding(mesh, P())
     mp = mesh_is_multiprocess(mesh)
     return jax.tree.map(lambda x: _put(x, sh, mp), tree)
+
+
+# ----- FSDP (ZeRO-3-style parameter sharding) -----
+#
+# Beyond the reference's DDP (its only strategy): shard every large
+# parameter / optimizer-state tensor over an 'fsdp' mesh axis and let
+# GSPMD insert the all-gathers at use and reduce-scatters on the grads.
+# Expressed purely as NamedSharding placement — the train step itself
+# (engine/train.py make_train_step, a plain jit) is unchanged; XLA's
+# sharding propagation does the collective scheduling. Composes with
+# the 'data' axis on a 2D mesh: batch on P('data'), params on 'fsdp'.
+
+
+def make_mesh_2d(n_data: int, n_fsdp: int,
+                 axes: tuple = ("data", "fsdp")) -> Mesh:
+    devices = jax.devices()
+    need = n_data * n_fsdp
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    return Mesh(np.asarray(devices[:need]).reshape(n_data, n_fsdp), axes)
+
+
+def fsdp_spec(shape, n_fsdp: int, min_size: int = 2 ** 15) -> P:
+    """PartitionSpec sharding the LARGEST dim divisible by n_fsdp;
+    replicated when the tensor is small (< min_size elements) or no dim
+    divides — scalars, biases, and BN stats stay whole, conv kernels
+    and momentum split. Ties go to the trailing dim (the channel dim in
+    HWIO conv kernels: all-gathers then ride the lane axis)."""
+    size = 1
+    for d in shape:
+        size *= int(d)
+    if not shape or size < min_size:
+        return P()
+    best = -1
+    for i, d in enumerate(shape):  # trailing dim wins ties
+        if int(d) % n_fsdp == 0 and (best < 0 or int(d) >= int(shape[best])):
+            best = i
+    if best < 0:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "fsdp"
+    return P(*spec)
+
+
+def shard_params_fsdp(tree: Any, mesh: Mesh, min_size: int = 2 ** 15) -> Any:
+    """Place every array leaf of a train-state/params pytree with its
+    fsdp_spec over `mesh` (which must carry an 'fsdp' axis). Applied
+    uniformly to params, optimizer state, and batch_stats: momentum
+    tensors share their param's shape so they land on the same shard
+    layout; small leaves replicate."""
+    n_fsdp = mesh.shape["fsdp"]
+    mp = mesh_is_multiprocess(mesh)
+
+    def place(x):
+        shape = np.shape(x)
+        sh = NamedSharding(mesh, fsdp_spec(shape, n_fsdp, min_size))
+        return _put(x, sh, mp)
+
+    return jax.tree.map(place, tree)

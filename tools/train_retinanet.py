@@ -50,6 +50,10 @@ def parse_args():
                    help="GLOBAL train batch (split across --num-devices)")
     p.add_argument("--score-batch-size", type=int, default=None,
                    help="pool-scoring / eval batch size (default 64)")
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="ZeRO-3 parameter-sharding degree: folds the device "
+                        "mesh to (num_devices/fsdp, fsdp) = (data, fsdp) and "
+                        "shards params + optimizer state over 'fsdp'")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel over the first N jax devices "
                         "(the reference's DDP mode, train.py:75-85)")
@@ -153,7 +157,8 @@ def main():
                       validate=not args.no_validate, num_devices=args.num_devices,
                       cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir,
                       distributed=args.distributed, coordinator=args.coordinator,
-                      num_processes=args.num_processes, process_id=args.process_id)
+                      num_processes=args.num_processes, process_id=args.process_id,
+                      fsdp=args.fsdp)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import attach_pretrained_backbone
 

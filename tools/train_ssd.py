@@ -43,6 +43,10 @@ def parse_args():
                    help="pool-scoring / eval batch size (default 64)")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel over the first N jax devices")
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="ZeRO-3 parameter-sharding degree: folds the device "
+                        "mesh to (num_devices/fsdp, fsdp) = (data, fsdp) and "
+                        "shards params + optimizer state over 'fsdp'")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--cycles", type=int, default=None)
     p.add_argument("--pretrained", default=None, help="mmcv vgg16_caffe .pth")
@@ -142,7 +146,8 @@ def main():
                       num_devices=args.num_devices,
                       cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir,
                       distributed=args.distributed, coordinator=args.coordinator,
-                      num_processes=args.num_processes, process_id=args.process_id)
+                      num_processes=args.num_processes, process_id=args.process_id,
+                      fsdp=args.fsdp)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import load_torch_state_dict
         from aod_meh_hua_tpu.models.vgg import convert_mmcv_vgg16
