@@ -83,6 +83,8 @@ class ALDriver:
         num_processes: Optional[int] = None,
         process_id: Optional[int] = None,
         fsdp: int = 1,
+        baseline: Optional[str] = None,
+        ensemble_size: int = 3,
     ):
         """num_devices > 1 runs data-parallel over a 'data' mesh: params
         replicated, train batches and pool-scoring batches sharded on the
@@ -121,6 +123,19 @@ class ALDriver:
         self.tcfg = train_cfg
         self.al = al_cfg
         self.paths = paths
+        # baseline="ensemble": the reference's deep-ensemble experiment
+        # (apis/CalEnsembleUnc.py:86-181) as a driver mode — each cycle
+        # trains ensemble_size independently seeded members on the same
+        # X_L and scores the pool with the 3-member sigmoid-MI instead
+        # of HUA. Members are cycle-local (not snapshotted): a mid-cycle
+        # resume retrains them from the primary's snapshot point.
+        if baseline not in (None, "ensemble"):
+            raise ValueError(f"unknown baseline {baseline!r}")
+        if baseline == "ensemble" and al_cfg.use_max_conf != "False":
+            raise ValueError("ensemble baseline emits no maxconf; "
+                             "use_max_conf must stay 'False'")
+        self.baseline = baseline
+        self.ensemble_size = int(ensemble_size)
         self.augment_fn = None
         if pipeline is None:
             if getattr(model_cfg, "family", "retinanet") == "ssd":
@@ -165,10 +180,6 @@ class ALDriver:
         self._local_mesh = None
         if self.fsdp > 1 and (num_devices is None or num_devices <= 1):
             raise ValueError("fsdp > 1 requires num_devices > 1")
-        if self.fsdp > 1 and self.proc_count > 1:
-            # checkpointing np.asarray's the state; cross-process shards
-            # aren't host-addressable. Gather-on-save is the missing piece.
-            raise NotImplementedError("fsdp with multi-host not supported yet")
         if num_devices is not None and num_devices > 1:
             from ..parallel import make_mesh, make_mesh_2d
 
@@ -217,7 +228,11 @@ class ALDriver:
     def _train_step(self, orientation: str):
         if orientation not in self._train_steps:
             self._train_steps[orientation] = make_train_step(
-                self.model, self.cfg.for_orientation(orientation), self.tx
+                self.model, self.cfg.for_orientation(orientation), self.tx,
+                # pinned output placement keeps the ZeRO-3 layout a
+                # fixpoint of the step, so a state re-placed at resume
+                # hits the SAME compiled program (bit-identical resume)
+                pin_state_shardings=self.mesh is not None,
             )
         return self._train_steps[orientation]
 
@@ -248,6 +263,18 @@ class ALDriver:
         from ..parallel import replicate
 
         return replicate(state, self.mesh)
+
+    def _host_state(self, tree):
+        """Host-numpy view for checkpointing / per-rank sweeps
+        (gather-on-save: under fsdp or multi-host the leaves are sharded
+        jax.Arrays whose shards may live on non-addressable devices).
+        COLLECTIVE under multi-host: every rank must call it — keep the
+        call OUTSIDE any is_main guard."""
+        if self.mesh is not None and (self.fsdp > 1 or self.proc_count > 1):
+            from ..parallel import gather_to_host
+
+            return gather_to_host(tree, self.mesh)
+        return jax.tree.map(np.asarray, tree)
 
     # ----- phases -----
 
@@ -281,7 +308,8 @@ class ALDriver:
         )
 
     def _train_run(self, state, x_l, run_seed: int, is_final_run: bool,
-                   cycle: int = 0, run_idx: int = 0, start_epoch: int = 0):
+                   cycle: int = 0, run_idx: int = 0, start_epoch: int = 0,
+                   snapshot: bool = True):
         loader = TrainLoader(
             self.pool, x_l, self.cfg, self.pipeline,
             batch_size=self.tcfg.batch_size, repeat=self.al.x_l_repeat,
@@ -341,16 +369,71 @@ class ALDriver:
                 "lr": lr, "seconds": round(dt, 2),
                 "img_per_s": round(n_iter * self.tcfg.batch_size / max(dt, 1e-9), 2),
             })
-            ival = self.tcfg.ckpt_interval
-            if self.is_main and ival and ((inner + 1) % ival == 0 or inner + 1 == n_inner):
-                from ..engine.checkpoint import save_train_state
+            ival = self.tcfg.ckpt_interval if snapshot else 0
+            if ival and ((inner + 1) % ival == 0 or inner + 1 == n_inner):
+                # gather BEFORE the rank guard: under fsdp/multi-host the
+                # host view is assembled by a collective all ranks run
+                host = self._host_state(state)
+                if self.is_main:
+                    from ..engine.checkpoint import save_train_state
 
-                save_train_state(
-                    self.paths.save_dir, state,
-                    {"cycle": cycle, "run": run_idx, "epoch": inner,
-                     "run_iter": run_iter, "name": self.name},
-                )
+                    save_train_state(
+                        self.paths.save_dir, host,
+                        {"cycle": cycle, "run": run_idx, "epoch": inner,
+                         "run_iter": run_iter, "name": self.name},
+                    )
         return state
+
+    def _train_ensemble_members(self, x_l, cycle: int, runs) -> list:
+        """Train ensemble_size - 1 EXTRA members for the ensemble
+        baseline (the primary model is member 0): fresh init per member
+        with a disjoint seed stream, the SAME run schedule and labeled
+        set, no snapshots. Returns their host variable dicts."""
+        from ..engine.train import TrainState
+        import jax.numpy as jnp
+
+        member_vars = []
+        for m in range(1, self.ensemble_size):
+            seed = self.tcfg.seed + cycle + 10_000 * m
+            _model, variables = self._init_model(seed)
+            if self.pretrained_loader is not None:
+                variables = self.pretrained_loader(variables)
+            state = TrainState(
+                jnp.zeros((), jnp.int32), variables["params"],
+                variables.get("batch_stats", {}),
+                self.tx.init(variables["params"]),
+            )
+            state = self._replicate(state)
+            for ri, (outer, _r) in enumerate(runs):
+                is_final = ri == len(runs) - 1
+                self.log(f"  ensemble member {m + 1}/{self.ensemble_size}: "
+                         f"train run {ri + 1}/{len(runs)}")
+                state = self._train_run(
+                    state, x_l,
+                    self.tcfg.seed + cycle * 100 + ri + 10_000 * m,
+                    is_final, cycle=cycle, run_idx=ri, snapshot=False,
+                )
+            member_vars.append(self._host_state(self._variables(state)))
+        return member_vars
+
+    def _score_pool_ensemble(self, state, x_l, cycle: int, runs):
+        """The deep-ensemble baseline sweep (CalEnsembleUnc.py:137-180):
+        rank-sliced like the production sweep, plain-jit per rank (the
+        member loop inside the step is the batch-parallel axis), scores
+        gathered across hosts. Returns (unc, zeros-as-maxconf)."""
+        from .baselines import score_pool_ensemble
+
+        members = [self._host_state(self._variables(state))]
+        members += self._train_ensemble_members(x_l, cycle, runs)
+        from ..parallel import rank_indices
+
+        sidx = rank_indices(len(self.pool), self.proc_id, self.proc_count)
+        loader = EvalLoader(self.pool, sidx, self.pipeline,
+                            batch_size=self.al.score_batch_size,
+                            cache=self._canvas_cache("pool", self.pool))
+        unc = score_pool_ensemble(self.model, members, self.cfg, loader,
+                                  len(self.pool))
+        return unc, np.zeros_like(unc)
 
     def _log_train_entry(self, entry: dict):
         """Append a jsonl train-log record (the TextLoggerHook analog);
@@ -398,7 +481,7 @@ class ALDriver:
             self._local_mesh = make_local_mesh()
             self._local_mesh_built = True
         idx = rank_indices(n, self.proc_id, self.proc_count)
-        host_vars = jax.tree.map(np.asarray, variables)
+        host_vars = self._host_state(variables)  # gathers fsdp shards
         return idx, host_vars, self._local_mesh
 
     def evaluate(self, variables) -> float:
@@ -488,7 +571,17 @@ class ALDriver:
 
                 path = cycle_ckpt_path(self.paths.save_dir, self.name, load_cycle,
                                        self.tcfg.epoch_ratio[0])
-                state = state._replace(params=load_checkpoint(path, state.params))
+                params = load_checkpoint(path, state.params)
+                if self.mesh is not None:
+                    # re-place the host leaves: ZeRO-3-sharded under fsdp
+                    # (a replicated placement would defeat the HBM saving
+                    # and recompile against a new input sharding), else
+                    # replicated — mirrors the resume_from path
+                    from ..parallel import replicate, shard_params_fsdp
+
+                    params = (shard_params_fsdp(params, self.mesh)
+                              if self.fsdp > 1 else replicate(params, self.mesh))
+                state = state._replace(params=params)
                 self.log(f"  loaded params from {path}")
 
             # three training runs: outer 0 twice, final outer once
@@ -535,10 +628,11 @@ class ALDriver:
             from ..data.voc import VOC_CLASSES
             from ..utils.env import collect_env
 
+            host_vars = self._host_state(self._variables(state))
             if self.is_main:
                 save_cycle_checkpoint(
                     self.paths.save_dir, self.name, cycle, self.tcfg.epoch_ratio[0],
-                    self._variables(state),
+                    host_vars,
                     meta={"version": aod_meh_hua_tpu.__version__,
                           "CLASSES": list(VOC_CLASSES), "cycle": cycle,
                           "n_labeled": int(len(x_l)),
@@ -548,18 +642,24 @@ class ALDriver:
 
             if cycle != self.al.cycles[-1]:
                 self.log("  scoring pool ...")
-                sidx, svars, smesh = self._sweep_setup(
-                    self.pool, self._variables(state))
-                loader = EvalLoader(self.pool, sidx, self.pipeline,
-                                    batch_size=self.al.score_batch_size,
-                                    cache=self._canvas_cache("pool", self.pool))
                 t0 = time.time()
-                unc, mconf = score_pool(
-                    self.model, svars, self.cfg, loader,
-                    len(self.pool), rng=self.rng, steps=self._score_steps_cache(),
-                    mesh=smesh,
-                )
-                if self.proc_count > 1 and self.cfg.hua.pool != "Random":
+                if self.baseline == "ensemble":
+                    unc, mconf = self._score_pool_ensemble(
+                        state, x_l, cycle, runs)
+                else:
+                    sidx, svars, smesh = self._sweep_setup(
+                        self.pool, self._variables(state))
+                    loader = EvalLoader(
+                        self.pool, sidx, self.pipeline,
+                        batch_size=self.al.score_batch_size,
+                        cache=self._canvas_cache("pool", self.pool))
+                    unc, mconf = score_pool(
+                        self.model, svars, self.cfg, loader,
+                        len(self.pool), rng=self.rng,
+                        steps=self._score_steps_cache(), mesh=smesh,
+                    )
+                if self.proc_count > 1 and (self.baseline == "ensemble"
+                                            or self.cfg.hua.pool != "Random"):
                     from ..parallel import allgather_sum
 
                     unc = allgather_sum(unc)

@@ -67,7 +67,12 @@ def score_pool(
         # streams, so issuing batch k+1's H2D before blocking on batch
         # k's scores overlaps the wire with the compute (the sweep ships
         # ~1.9 MB/image of uint8 canvas; leaving the upload implicit in
-        # the step dispatch serializes it behind the previous fetch)
+        # the step dispatch serializes it behind the previous fetch).
+        # HBM cost: the lookahead keeps TWO batches resident (~119 MB
+        # extra at score_batch_size=64) on top of the step's working
+        # set — shrink score_batch_size first if a larger canvas or TTA
+        # config ever approaches the HBM limit. (The eval sweep in
+        # al/loop.py uses the same structure and carries the same cost.)
         shard = jax.device_put
     unc = np.zeros(num_images, np.float64)
     mconf = np.zeros(num_images, np.float64)

@@ -278,7 +278,7 @@ def make_ssd_loss_fn(model, cfg):
     return loss_fn, anchors_host
 
 
-def make_train_step(model, cfg, tx) -> Callable:
+def make_train_step(model, cfg, tx, pin_state_shardings: bool = False) -> Callable:
     loss_fn, anchors_host = make_loss_fn(model, cfg)
 
     def train_step(state: TrainState, batch: Batch, anchors):
@@ -288,12 +288,48 @@ def make_train_step(model, cfg, tx) -> Callable:
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, state.batch_stats, opt_state), aux
 
-    jfn = jax.jit(train_step, donate_argnums=(0,))
     anchors_arg = ConstArg(anchors_host)
+    cell: dict = {}
+
+    def _jfn(state: TrainState):
+        # pin_state_shardings: emit the output state with EXACTLY the
+        # input state's placement (built lazily from the first call).
+        # Without the pin GSPMD re-shards a handful of leaves (e.g. BN
+        # scales onto 'fsdp'), so a state re-placed from a checkpoint
+        # with fsdp_spec compiles a SECOND program whose reduction
+        # order differs at the last bit — breaking bit-identical
+        # mid-cycle resume under ZeRO-3 (tests/test_fsdp.py). Pinning
+        # makes fresh-placed and in-flight states indistinguishable.
+        if "f" not in cell:
+            kw = {}
+            if pin_state_shardings:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep: dict = {}
+
+                def leaf_sh(x):
+                    sh = x.sharding
+                    if isinstance(sh, NamedSharding):
+                        rep.setdefault("r", NamedSharding(sh.mesh,
+                                                          PartitionSpec()))
+                        return sh
+                    return None  # uncommitted host scalar (e.g. the lr
+                    # hyperparam set_learning_rate rebuilt) — patch below
+
+                state_sh = jax.tree.map(leaf_sh, state)
+                # leaves not yet on the mesh pin to replicated: mixing a
+                # SingleDeviceSharding into out_shardings trips jit's
+                # device-set check against the mesh-placed arguments
+                state_sh = jax.tree.map(
+                    lambda s: rep["r"] if s is None else s, state_sh,
+                    is_leaf=lambda s: s is None)
+                kw["out_shardings"] = (state_sh, rep["r"])
+            cell["f"] = jax.jit(train_step, donate_argnums=(0,), **kw)
+        return cell["f"]
 
     # anchors ride as an argument, not a baked constant — see
     # postprocess.make_candidate_selector for the TPU-relay rationale
     def step(state: TrainState, batch: Batch):
-        return jfn(state, batch, anchors_arg.get(batch.images))
+        return _jfn(state)(state, batch, anchors_arg.get(batch.images))
 
     return step

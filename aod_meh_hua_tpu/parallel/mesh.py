@@ -88,7 +88,9 @@ def make_mesh_2d(n_data: int, n_fsdp: int,
                  axes: tuple = ("data", "fsdp")) -> Mesh:
     devices = jax.devices()
     need = n_data * n_fsdp
-    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices ({n_data} data x {n_fsdp} "
+                         f"fsdp), have {len(devices)}")
     return Mesh(np.asarray(devices[:need]).reshape(n_data, n_fsdp), axes)
 
 
@@ -112,6 +114,22 @@ def fsdp_spec(shape, n_fsdp: int, min_size: int = 2 ** 15) -> P:
     spec = [None] * len(shape)
     spec[best] = "fsdp"
     return P(*spec)
+
+
+def gather_to_host(tree: Any, mesh: Mesh) -> Any:
+    """Full host-numpy copy of a sharded pytree: gather-on-save for
+    checkpointing fsdp-sharded state (the reference's DDP save path runs
+    on rank 0 against replicated weights, mmdet/utils/
+    Epoch_Based_Runner_Lambda.py:144-169; under ZeRO-3 the gather is the
+    step that recreates that view).
+
+    COLLECTIVE when shards span processes: EVERY process must call it
+    (the jitted identity below compiles to cross-process all-gathers),
+    then each host reads its now-replicated local copy. Call it outside
+    any `is_main` guard."""
+    rep = NamedSharding(mesh, P())
+    gathered = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), gathered)
 
 
 def shard_params_fsdp(tree: Any, mesh: Mesh, min_size: int = 2 ** 15) -> Any:

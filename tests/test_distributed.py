@@ -95,6 +95,48 @@ def test_two_process_selection_parity(mini_voc, tmp_path):
     assert (u1 == 0).sum() == (u2 == 0).sum()
 
 
+def test_two_process_fsdp_selection_parity(mini_voc, tmp_path):
+    """Multi-host ZeRO-3: two jax.distributed processes with a 4x2
+    (data, fsdp) global mesh reproduce the single-process selection.
+    Exercises gather-on-save (parallel/mesh.py gather_to_host) — the
+    per-rank sweeps and the cycle checkpoint both need a host view of
+    params whose fsdp shards live partly on the OTHER process."""
+    w1 = str(tmp_path / "single")
+    r = subprocess.run(_al_args(mini_voc, w1, []), capture_output=True,
+                       text=True, cwd=REPO, timeout=900, env=_env(4))
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+
+    port = _free_port()
+    w2 = str(tmp_path / "dist_fsdp")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            _al_args(mini_voc, w2, [
+                "--fsdp", "2",
+                "--distributed", "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid)]),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=_env(4)))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid}:\n{out[-3000:]}"
+
+    np.testing.assert_array_equal(np.load(os.path.join(w1, "X_L_1.npy")),
+                                  np.load(os.path.join(w2, "X_L_1.npy")))
+    u1 = np.load(os.path.join(w1, "Unc_1.npy"))
+    u2 = np.load(os.path.join(w2, "Unc_1.npy"))
+    np.testing.assert_allclose(u1, u2, rtol=2e-3, atol=1e-6)
+    assert (u1 == 0).sum() == (u2 == 0).sum()
+
+
 def test_collect_objects_single_process(tmp_path):
     from aod_meh_hua_tpu.parallel import collect_objects, rank_indices, allgather_sum
 

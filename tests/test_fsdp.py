@@ -99,6 +99,78 @@ def test_fsdp_step_matches_dp():
     assert np.isfinite(np.asarray(unc)).all()
 
 
+def test_fsdp_mid_cycle_resume_bit_identical(tmp_path):
+    """Gather-on-save under ZeRO-3: kill a --fsdp 2 run mid-cycle after
+    an epoch snapshot, resume from it, and the final cycle checkpoint is
+    BIT-identical to the uninterrupted fsdp run (the same bar the DP
+    resume test sets in test_al_loop.py; reference save path
+    mmdet/utils/Epoch_Based_Runner_Lambda.py:144-169)."""
+    import os
+
+    import aod_meh_hua_tpu.engine.checkpoint as ckpt_mod
+    from aod_meh_hua_tpu.al import ALDriver, ALPaths
+    from aod_meh_hua_tpu.data import PipelineConfig
+    from aod_meh_hua_tpu.engine.checkpoint import (cycle_ckpt_path,
+                                                   load_checkpoint)
+    from aod_meh_hua_tpu.utils.config import ALConfig
+
+    from test_data import make_voc
+
+    base, _, ids = make_voc(str(tmp_path / "voc"), "VOC2007", n=14, seed=3)
+    with open(os.path.join(base, "ImageSets/Main/test.txt"), "w") as f:
+        f.write("\n".join(ids[:4]))
+
+    cfg = tiny_test_config()
+    tcfg = TrainConfig(batch_size=8, outer_epoch=1, epoch_ratio=(2,), lr=0.01,
+                       ckpt_interval=1)
+    al = ALConfig(cycles=(0,), x_l_0_size=4, x_s_size=2, x_l_repeat=1,
+                  score_batch_size=8)
+    pipe = PipelineConfig(img_scale=(250, 120), canvas=cfg.canvas)
+
+    def driver(work_dir):
+        return ALDriver(cfg, tcfg, al,
+                        ALPaths(voc07=base, voc12=None, work_dir=work_dir),
+                        pipeline=pipe, validate=False, log=None,
+                        cache_dir=None, num_devices=8, fsdp=2)
+
+    def final_params(work_dir):
+        d = driver(work_dir)
+        path = cycle_ckpt_path(d.paths.save_dir, d.name, 0, 2)
+        init = d._init_model(tcfg.seed)[1]
+        return load_checkpoint(path, {"params": init["params"],
+                                      "batch_stats": init.get("batch_stats", {})})
+
+    wa = str(tmp_path / "uninterrupted")
+    driver(wa).run()
+
+    # interrupted run: die right after the 3rd epoch snapshot
+    wb = str(tmp_path / "interrupted")
+    real_save = ckpt_mod.save_train_state
+    calls = {"n": 0}
+
+    def killer(save_dir, state, progress):
+        out = real_save(save_dir, state, progress)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated preemption")
+        return out
+
+    ckpt_mod.save_train_state = killer
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            driver(wb).run()
+    finally:
+        ckpt_mod.save_train_state = real_save
+
+    driver(wb).run(resume_from=driver(wb).paths.save_dir)
+
+    pa, pb = final_params(wa), final_params(wb)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        pa, pb)
+
+
 def test_al_driver_fsdp_selection_parity(tmp_path):
     """Full AL cycle pair through ALDriver on an 8-device mesh: the
     4x2 (data, fsdp) run must acquire the SAME images as plain DP-8
