@@ -89,6 +89,8 @@ def make_nms_output_core(cfg: RetinaNetConfig, select) -> Callable:
                 fg_score_thr=hua.fg_score_thr, lambda_eps=hua.lambda_eps,
                 lambda_scale=hua.lambda_scale, unc_type=unc_type, mi_fn=_mi_fn(cfg, key),
                 num_fg_classes=cfg.num_fg_classes,
+                agg_order=getattr(hua, "agg_order", "class_first"),
+                cls_weight=getattr(hua, "cls_weight", False),
             )
         )(cand.scores, cand.lambdas, member)
         return unc, maxconf
@@ -124,6 +126,63 @@ def make_output_scorer(cfg: RetinaNetConfig) -> Callable:
     return step
 
 
+def make_scale_core(cfg: RetinaNetConfig) -> Callable:
+    """The Entropy_ALL / Entropy_NoNMS scoring core on raw head outputs:
+    (cls_scores [B, A, C] raw logits over the FULL maps, lambdas [B, A]
+    or None, key) -> unc [B]. Entropy_ALL rescales alphas by the
+    full-map lambda mean (ComputeScaleUnc, Lambda_L2.py:539-569);
+    Entropy_NoNMS passes no L_scores. Shared by make_score_step and
+    make_scale_output_scorer (the pool-scale oracle entry)."""
+    agg = parse_agg_spec(cfg.hua.agg)
+    hua = cfg.hua
+    unc_type = {"epistemic": "epistemic", "aleatoric": "aleatoric", "total": "total",
+                "shannon": "total"}[hua.unc_type.lower()]
+    full_bounds = cfg.level_bounds()
+
+    def core(cls_scores, lambdas, key: Optional[jax.Array] = None):
+        mi = _mi_fn(cfg, key)
+        with_lambda = lambdas is not None
+
+        def per_image(cls_i, lam_i):
+            levels = [jax.nn.softmax(cls_i[s0:s1], axis=-1) for (s0, s1) in full_bounds]
+            lams = None
+            if with_lambda:
+                lams = [lam_i[s0:s1] for (s0, s1) in full_bounds]
+            return hua_scale_scores(
+                levels, lams, agg, fg_score_thr=hua.fg_score_thr,
+                lambda_eps=hua.lambda_eps, lambda_scale=hua.lambda_scale,
+                unc_type=unc_type, mi_fn=mi, num_fg_classes=cfg.num_fg_classes,
+            )
+
+        lam_arg = lambdas if with_lambda else jnp.zeros_like(cls_scores[..., 0])
+        return jax.vmap(per_image)(cls_scores, lam_arg)
+
+    return core
+
+
+def make_scale_output_scorer(cfg: RetinaNetConfig) -> Callable:
+    """Jitted Entropy_ALL / Entropy_NoNMS scorer over raw head outputs
+    (no model forward) — the scale-variant sibling of make_output_scorer,
+    driving hua_scale_scores through the EXACT production composition so
+    the acquisition oracle can compare it against a numpy transcription
+    of ComputeScaleUnc + AggregateScaleUnc at pool scale
+    (Lambda_L2.py:539-569 + :636-691). Returns step(cls_scores [B, A, C],
+    lambdas [B, A] or None, key=None) -> unc [B]."""
+    core = make_scale_core(cfg)
+    with_lam = jax.jit(lambda c, l, *k: core(c, l, *k),
+                       compiler_options=score_step_compiler_options())
+    no_lam = jax.jit(lambda c, *k: core(c, None, *k),
+                     compiler_options=score_step_compiler_options())
+
+    def step(cls_scores, lambdas=None, key: Optional[jax.Array] = None):
+        extra = (key,) if key is not None else ()
+        if lambdas is None:
+            return no_lam(cls_scores, *extra)
+        return with_lam(cls_scores, lambdas, *extra)
+
+    return step
+
+
 def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
     """Returns score_step(variables, batch, key=None) -> (unc [B], maxconf [B]).
 
@@ -133,12 +192,9 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
     that passes no L_scores). 'Random' is host-side (al/uncertainty.py).
     """
     select, anchors_host = make_candidate_selector(cfg)
-    agg = parse_agg_spec(cfg.hua.agg)
     hua = cfg.hua
-    unc_type = {"epistemic": "epistemic", "aleatoric": "aleatoric", "total": "total",
-                "shannon": "total"}[hua.unc_type.lower()]
-    full_bounds = cfg.level_bounds()
     nms_core = make_nms_output_core(cfg, select)
+    scale_core = make_scale_core(cfg)
 
     def _maxconf(cls_scores: jnp.ndarray) -> jnp.ndarray:
         # getMaxConf: per-image max softmax probability over every level
@@ -155,24 +211,11 @@ def make_score_step(model, cfg: RetinaNetConfig) -> Callable:
     def score_scale(variables, batch: EvalBatch, anchors,
                     key: Optional[jax.Array] = None):
         with_lambda = hua.pool == "Entropy_ALL"
+        images = prepare_images(batch.images, batch.img_shapes, cfg)
         cls_scores, bbox_preds, lambdas = model.apply(
-            variables, batch.images, with_meh=with_lambda
+            variables, images, with_meh=with_lambda
         )
-        mi = _mi_fn(cfg, key)
-
-        def per_image(cls_i, lam_i):
-            levels = [jax.nn.softmax(cls_i[s0:s1], axis=-1) for (s0, s1) in full_bounds]
-            lams = None
-            if with_lambda:
-                lams = [lam_i[s0:s1] for (s0, s1) in full_bounds]
-            return hua_scale_scores(
-                levels, lams, agg, fg_score_thr=hua.fg_score_thr,
-                lambda_eps=hua.lambda_eps, lambda_scale=hua.lambda_scale,
-                unc_type=unc_type, mi_fn=mi, num_fg_classes=cfg.num_fg_classes,
-            )
-
-        lam_arg = lambdas if with_lambda else jnp.zeros_like(cls_scores[..., 0])
-        unc = jax.vmap(per_image)(cls_scores, lam_arg)
+        unc = scale_core(cls_scores, lambdas if with_lambda else None, key)
         return unc, _maxconf(cls_scores)
 
     if hua.pool == "Entropy_NMS":

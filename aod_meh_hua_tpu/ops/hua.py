@@ -9,7 +9,14 @@ Behavioral parity targets (reference, /root/reference):
   computed over the matched (anchor, object) pairs of each scale)
 * Lambda_L2.py:597-619 (AggregateObjScaleUnc: class -> scale -> object
   reduction with per-level Sum/Avg/Max from a spec string like
-  'objectSum_scaleMax_classSum')
+  'objectSum_scaleMax_classSum'; its clsW kwarg multiplies the image
+  score by the number of distinct predicted classes, :616-618)
+* Lambda_L2.py:571-596 + :621-633 (ChangeOrder +
+  AggregateObjClassScaleUnc: the aggregation-ORDER ablation — reduce
+  over scales per class first, then classes, then objects; reachable
+  here as agg_order='scale_first', which with the default spec
+  reproduces its hardcoded max-over-scales / sum-over-classes /
+  sum-over-objects exactly)
 * Lambda_L2.py:539-569 + :636-691 (ComputeScaleUnc / AggregateScaleUnc:
   the no-NMS variant over full per-level score maps)
 * mmdet/utils/functions.py:425-436 (ExtractAggFunc spec parser)
@@ -121,6 +128,8 @@ def hua_object_scores(
     unc_type: str = "epistemic",
     mi_fn: Callable = None,
     num_fg_classes: int = None,
+    agg_order: str = "class_first",
+    cls_weight: bool = False,
 ) -> jnp.ndarray:
     """Single-image HUA score for the Entropy_NMS pool (scalar).
 
@@ -138,6 +147,12 @@ def hua_object_scores(
       num_fg_classes: foreground column count for the per-level FGIdx
         skip (ComputeObjUnc's `slvl_maxconf[:, :-1]` for SSD,
         My_L_ssd_head.py:446); None = all columns (Retina).
+      agg_order: 'class_first' (AggregateObjScaleUnc: class -> scale ->
+        object) or 'scale_first' (the ChangeOrder +
+        AggregateObjClassScaleUnc ablation: scale -> class -> object).
+      cls_weight: AggregateObjScaleUnc's clsW — multiply the image score
+        by the number of distinct predicted classes that appear in any
+        (object, scale) cell (Lambda_L2.py:616-618).
     """
     if mi_fn is None:
         mi_fn = dirichlet_mutual_information
@@ -176,11 +191,27 @@ def hua_object_scores(
     valid = n > 0
     mean_u = jnp.where(valid, u / jnp.maximum(n, 1.0), 0.0)
 
-    # class -> scale -> object, each with masked Sum/Avg/Max
-    v_sc, ok_sc = _masked_reduce(mean_u, valid, agg["class"], axis=2)   # [S, K]
-    v_o, ok_o = _masked_reduce(v_sc, ok_sc, agg["scale"], axis=0)       # [K]
+    if agg_order == "class_first":
+        # class -> scale -> object, each with masked Sum/Avg/Max
+        v_sc, ok_sc = _masked_reduce(mean_u, valid, agg["class"], axis=2)  # [S, K]
+        v_o, ok_o = _masked_reduce(v_sc, ok_sc, agg["scale"], axis=0)      # [K]
+    elif agg_order == "scale_first":
+        # scale -> class -> object (ChangeOrder regroups each object's
+        # per-scale class dicts into per-class scale lists, then
+        # AggregateObjClassScaleUnc maxes scales / sums classes / sums
+        # objects; the default spec reproduces that exactly)
+        v_kc, ok_kc = _masked_reduce(mean_u, valid, agg["scale"], axis=0)  # [K, C]
+        v_o, ok_o = _masked_reduce(v_kc, ok_kc, agg["class"], axis=1)      # [K]
+    else:
+        raise ValueError(f"bad agg_order {agg_order!r}")
     score, ok = _masked_reduce(v_o[None, :], ok_o[None, :], agg["object"], axis=1)
-    return jnp.where(ok, score, 0.0)[0]
+    score = jnp.where(ok, score, 0.0)[0]
+    if cls_weight:
+        # clsW counts classes over every (object, scale) cell of the
+        # image, including cells of objects whose reduction is empty
+        n_cls = valid.any(axis=(0, 1)).sum().astype(score.dtype)
+        score = score * n_cls
+    return score
 
 
 def hua_scale_scores(

@@ -50,6 +50,11 @@ class HUACfg:
     pool: str = "Entropy_NMS"           # Random | Entropy_ALL | Entropy_NMS | Entropy_NoNMS
     unc_type: str = "epistemic"          # epistemic | aleatoric | total
     agg: str = "objectSum_scaleMax_classSum"
+    # ablation surface (Lambda_L2.py:571-633): aggregation order
+    # ('class_first' = AggregateObjScaleUnc, 'scale_first' = ChangeOrder
+    # + AggregateObjClassScaleUnc) and the clsW class-count weighting
+    agg_order: str = "class_first"
+    cls_weight: bool = False
     obj_score_thr: float = 0.3           # GetObjectIdx score_thr (driver flag score_thr)
     memb_iou_thr: float = 0.5            # GetObjectIdx iou_thr
     fg_score_thr: float = 0.3            # FG anchor confidence gate

@@ -92,6 +92,97 @@ def test_hua_object_matches_reference_transcription(rng, spec):
     assert got == pytest.approx(float(want), rel=2e-2, abs=5e-4)
 
 
+def _collect_obj_scale_cls(scores, lam, member, bounds, fg_thr=0.3, eps=1e-7):
+    """ComputeObjUnc's raw (obj, scale) -> {cls: epi} dict for one image
+    (shared by the order-ablation transcriptions below)."""
+    per_scale_obj_cls = {}
+    for s_idx, (s0, s1) in enumerate(bounds):
+        sc, lm, mb = scores[s0:s1], lam[s0:s1], member[s0:s1]
+        fg = sc.max(1) > fg_thr
+        pair = mb & fg[:, None]
+        pos_a, pos_o = np.nonzero(pair)
+        if len(pos_a) == 0:
+            continue
+        lam_p = lm[pos_a].mean() / (lm + eps) * 25.0
+        epi = _mi_np(sc * lam_p[:, None])
+        pos_cls = sc.argmax(1)
+        for obj in np.unique(pos_o):
+            o_mask = pos_o == obj
+            for cls in np.unique(pos_cls[pos_a[o_mask]]):
+                sel = o_mask & (pos_cls[pos_a] == cls)
+                per_scale_obj_cls.setdefault((obj, s_idx), {})[cls] = epi[pos_a[sel]].mean()
+    return per_scale_obj_cls
+
+
+def _reference_reverse_unc(scores, lam, member, bounds):
+    """ChangeOrder + AggregateObjClassScaleUnc (Lambda_L2.py:571-596 +
+    :621-633): per object, per class max over scales, sum over classes,
+    sum over objects."""
+    cells = _collect_obj_scale_cls(scores, lam, member, bounds)
+    per_obj_cls = {}  # obj -> {cls: [epi over scales]}
+    for (obj, _s), d in cells.items():
+        for cls, epi in d.items():
+            per_obj_cls.setdefault(obj, {}).setdefault(cls, []).append(epi)
+    obj_vals = [
+        sum(max(v) for v in by_cls.values()) for by_cls in per_obj_cls.values()
+    ]
+    return sum(obj_vals) if obj_vals else 0.0
+
+
+def test_hua_scale_first_matches_reverse_order_transcription(rng):
+    scores, lam, member, bounds = _make_case(rng)
+    want = _reference_reverse_unc(scores, lam, member, bounds)
+    got = float(
+        hua_object_scores(
+            jnp.asarray(scores), jnp.asarray(lam), jnp.asarray(member),
+            bounds, parse_agg_spec("objectSum_scaleMax_classSum"),
+            agg_order="scale_first",
+        )
+    )
+    assert got == pytest.approx(float(want), rel=2e-2, abs=5e-4)
+    # the ablation must actually change the answer on a case where the
+    # reduction orders differ (sum-then-max vs max-then-sum)
+    base = float(
+        hua_object_scores(
+            jnp.asarray(scores), jnp.asarray(lam), jnp.asarray(member),
+            bounds, parse_agg_spec("objectSum_scaleMax_classSum"),
+        )
+    )
+    assert got != pytest.approx(base, rel=1e-6)
+
+
+def test_hua_cls_weight_matches_clsw_transcription(rng):
+    """clsW (Lambda_L2.py:616-618): image score x number of distinct
+    classes over every (object, scale) cell."""
+    scores, lam, member, bounds = _make_case(rng)
+    spec = "objectSum_scaleMax_classSum"
+    cells = _collect_obj_scale_cls(scores, lam, member, bounds)
+    n_cls = len({cls for d in cells.values() for cls in d})
+    want = _reference_obj_unc(scores, lam, member, bounds, spec) * n_cls
+    got = float(
+        hua_object_scores(
+            jnp.asarray(scores), jnp.asarray(lam), jnp.asarray(member),
+            bounds, parse_agg_spec(spec), cls_weight=True,
+        )
+    )
+    assert n_cls > 1  # the weighting must be exercised
+    assert got == pytest.approx(float(want), rel=2e-2, abs=5e-4)
+
+
+def test_hua_scale_first_empty_scores_zero(rng):
+    scores = np.full((10, 6), 0.01, dtype=np.float32)
+    lam = rng.uniform(0.1, 1.0, 10).astype(np.float32)
+    member = np.ones((10, 3), dtype=bool)
+    got = float(
+        hua_object_scores(
+            jnp.asarray(scores), jnp.asarray(lam), jnp.asarray(member),
+            [(0, 10)], parse_agg_spec("objectSum_scaleMax_classSum"),
+            agg_order="scale_first", cls_weight=True,
+        )
+    )
+    assert got == 0.0
+
+
 def test_hua_empty_image_scores_zero(rng):
     scores = np.full((10, 6), 0.01, dtype=np.float32)  # all below fg threshold
     lam = rng.uniform(0.1, 1.0, 10).astype(np.float32)

@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--uncertainty", default="Entropy_NMS",
                    help="hua pool: Entropy_NMS | Entropy_ALL | Entropy_NoNMS")
     p.add_argument("--agg", default=None)
+    p.add_argument("--agg-order", default=None,
+                   choices=["class_first", "scale_first"],
+                   help="HUA aggregation-order ablation")
+    p.add_argument("--cls-weight", action="store_true",
+                   help="clsW: weight image scores by distinct-class count")
     p.add_argument("--passes", type=int, default=25, help="MC-dropout passes")
     p.add_argument("--batch-size", type=int, default=8,
                    help="GLOBAL sweep batch (split across --num-devices)")
@@ -87,6 +92,12 @@ def main():
         pipe = None
     if args.agg:
         cfg = dataclasses.replace(cfg, hua=dataclasses.replace(cfg.hua, agg=args.agg))
+    if args.agg_order:
+        cfg = dataclasses.replace(
+            cfg, hua=dataclasses.replace(cfg.hua, agg_order=args.agg_order))
+    if args.cls_weight:
+        cfg = dataclasses.replace(
+            cfg, hua=dataclasses.replace(cfg.hua, cls_weight=True))
     cfg = dataclasses.replace(cfg, hua=dataclasses.replace(cfg.hua, pool=args.uncertainty))
     pipe = pipe or _default_pipeline(cfg)
 

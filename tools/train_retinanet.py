@@ -33,6 +33,19 @@ def parse_args():
     p.add_argument("--Unc-type", dest="unc_type", default=None,
                    help="SACA | SSCS | SACS | SSCA (2-level agg shorthand)")
     p.add_argument("--agg", default=None, help="full HUA agg spec, e.g. objectSum_scaleMax_classSum")
+    p.add_argument("--agg-order", default=None,
+                   choices=["class_first", "scale_first"],
+                   help="HUA aggregation-order ablation: scale_first = the "
+                        "reference's ChangeOrder+AggregateObjClassScaleUnc")
+    p.add_argument("--cls-weight", action="store_true",
+                   help="clsW: weight image scores by distinct-class count "
+                        "(reference train_RetinaNet.py:38)")
+    p.add_argument("--baseline", default=None, choices=["ensemble"],
+                   help="replace HUA scoring with a baseline: 'ensemble' "
+                        "trains N seeds per cycle and scores with the "
+                        "deep-ensemble sigmoid MI (CalEnsembleUnc.py:86-181)")
+    p.add_argument("--ensemble-size", type=int, default=3,
+                   help="members for --baseline ensemble (reference uses 3)")
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--resume-cycle", type=int, default=-1)
     p.add_argument("--load-cycle", type=int, default=-1)
@@ -138,6 +151,10 @@ def main():
         hua = dataclasses.replace(hua, agg=STR2UNC[args.unc_type])
     if args.agg:
         hua = dataclasses.replace(hua, agg=args.agg)
+    if args.agg_order:
+        hua = dataclasses.replace(hua, agg_order=args.agg_order)
+    if args.cls_weight:
+        hua = dataclasses.replace(hua, cls_weight=True)
     hua = dataclasses.replace(hua, obj_score_thr=args.score_thr, memb_iou_thr=args.iou_thr)
     model_cfg = dataclasses.replace(model_cfg, hua=hua, compute_dtype=args.dtype)
     train_cfg = dataclasses.replace(
@@ -158,7 +175,8 @@ def main():
                       cache_dir=None if args.canvas_cache_dir == "none" else args.canvas_cache_dir,
                       distributed=args.distributed, coordinator=args.coordinator,
                       num_processes=args.num_processes, process_id=args.process_id,
-                      fsdp=args.fsdp)
+                      fsdp=args.fsdp, baseline=args.baseline,
+                      ensemble_size=args.ensemble_size)
     if args.pretrained:
         from aod_meh_hua_tpu.models.pretrained import attach_pretrained_backbone
 

@@ -27,6 +27,13 @@ def parse_args():
     p.add_argument("--uncertainty", default=None)
     p.add_argument("--Unc-type", dest="unc_type", default=None)
     p.add_argument("--agg", default=None)
+    p.add_argument("--agg-order", default=None,
+                   choices=["class_first", "scale_first"],
+                   help="HUA aggregation-order ablation (ChangeOrder+"
+                        "AggregateObjClassScaleUnc when scale_first)")
+    p.add_argument("--cls-weight", action="store_true",
+                   help="clsW: weight image scores by distinct-class count "
+                        "(reference train_SSD.py:41)")
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--resume-cycle", type=int, default=-1)
     p.add_argument("--load-cycle", type=int, default=-1)
@@ -132,6 +139,10 @@ def main():
         hua = dataclasses.replace(hua, agg=STR2UNC[args.unc_type])
     if args.agg:
         hua = dataclasses.replace(hua, agg=args.agg)
+    if args.agg_order:
+        hua = dataclasses.replace(hua, agg_order=args.agg_order)
+    if args.cls_weight:
+        hua = dataclasses.replace(hua, cls_weight=True)
     hua = dataclasses.replace(hua, obj_score_thr=args.score_thr, memb_iou_thr=args.iou_thr)
     model_cfg = dataclasses.replace(model_cfg, hua=hua)
     if args.cycles:
