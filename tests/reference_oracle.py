@@ -306,6 +306,61 @@ def score_image(
             "n_objects": n_obj, "n_pairs_over_thr": n_pairs}
 
 
+def score_image_scale(
+    level_logits: Sequence[np.ndarray],
+    level_lambda: Optional[Sequence[np.ndarray]],
+    *,
+    fg_score_thr: float = 0.3,
+    lambda_eps: float = 1e-7,
+    lambda_scale: float = 25.0,
+    agg: str = "scaleAvg_classAvg",
+    mi: str = "closed",
+    mi_samples: int = 500,
+    rng: Optional[np.random.RandomState] = None,
+) -> float:
+    """One pool image through the scale-variant chain: ComputeScaleUnc +
+    AggregateScaleUnc (Lambda_L2.py:539-569 + :636-691) — the
+    Entropy_ALL path (full maps, nms_pre=-1, Lambda_L2.py:282-284).
+
+    level_logits[l]: [A_l, C] raw class logits over the FULL level map;
+    level_lambda[l]: [A_l] MEH lambda, or None for the Entropy_NoNMS
+    pathway (get_bboxes is called without L_scores, Lambda_L2.py:404 —
+    the reference's own ComputeScaleUnc would then crash indexing None;
+    'no lambda rescale' is the declared rebuild semantics,
+    docs/ARCHITECTURE.md). Returns the AggedUnc scalar.
+    """
+    n_levels = len(level_logits)
+    cells: List[Dict] = [{} for _ in range(n_levels)]
+    for lvl in range(n_levels):
+        alphas = softmax(np.asarray(level_logits[lvl], np.float64))
+        fg = alphas.max(axis=1) > fg_score_thr
+        if not fg.any():
+            continue
+        if level_lambda is not None:
+            lam = np.asarray(level_lambda[lvl], np.float64)
+            # l_scores.mean() over the WHOLE level map, not FG-masked
+            lam_p = lam.mean() / (lam + lambda_eps) * lambda_scale
+            alphas = alphas * lam_p[:, None]
+        fil = alphas[fg]
+        if mi == "closed":
+            epistemic, aleatoric = dirichlet_mi_closed(fil)
+        else:
+            epistemic, aleatoric = dirichlet_mi_sampled(fil, rng, mi_samples)
+        cls = fil.argmax(axis=1)
+        for c in np.unique(cls):
+            sel = cls == c
+            cells[lvl][str(c)] = (float(aleatoric[sel].mean()),
+                                  float(epistemic[sel].mean()))
+
+    funcs = extract_agg_funcs(agg)
+    scale_vals = []
+    for lvl in range(n_levels):
+        cls_vals = [epi for (_ale, epi) in cells[lvl].values()]
+        if cls_vals:
+            scale_vals.append(float(funcs["class"](np.asarray(cls_vals))))
+    return float(funcs["scale"](np.asarray(scale_vals))) if scale_vals else 0.0
+
+
 def update_x_l(
     uncertainty: np.ndarray,
     x_all: np.ndarray,
@@ -313,10 +368,13 @@ def update_x_l(
     x_s_size: int,
     zero_rate: float,
     np_random: np.random.RandomState,
+    maxconf: Optional[np.ndarray] = None,
+    use_max_conf: str = "False",
 ) -> np.ndarray:
-    """active_datasets.py:102-135 update_X_L (zeroRate branch, no
-    maxconf), transcribed verbatim INCLUDING the `list(set(...))`
-    unlabeled-pool ordering. Returns X_L_next sorted."""
+    """active_datasets.py:102-135 update_X_L (zeroRate branch, incl. the
+    useMaxConf min/max zero-pick variants), transcribed verbatim
+    INCLUDING the `list(set(...))` unlabeled-pool ordering. Returns
+    X_L_next sorted."""
     all_x_u = np.array(list(set(x_all.tolist()) - set(x_l.tolist())))
     unc_u = uncertainty[all_x_u]
     arg = unc_u.argsort()
@@ -326,11 +384,31 @@ def update_x_l(
         nonzero_size = x_s_size - zero_size
         if len(zeros) < zero_size:
             zero_size = len(zeros)
-        zero_idx = np_random.choice(zeros, zero_size)
+        if use_max_conf != "False":
+            mc_arg = np.asarray(maxconf)[all_x_u].argsort()
+            zero_idx = (mc_arg[:zero_size] if use_max_conf == "min"
+                        else mc_arg[-zero_size:])
+        else:
+            zero_idx = np_random.choice(zeros, zero_size)
         nonzero_idx = arg[-nonzero_size:]
         x_s = np.concatenate((all_x_u[zero_idx], all_x_u[nonzero_idx]))
     else:
         x_s = all_x_u[arg[-x_s_size:]]
     x_l_next = np.concatenate((x_l, x_s))
+    x_l_next.sort()
+    return x_l_next
+
+
+def update_x_l2(
+    uncertainty: np.ndarray, x_all: np.ndarray, x_l: np.ndarray, x_s_size: int
+) -> np.ndarray:
+    """active_datasets.py:91-100 update_X_L2 (the reselect path): the
+    next labeled set is the top (|X_L| + x_s_size) most-uncertain images
+    over the WHOLE pool — no monotone-growth guarantee. Verbatim incl.
+    `np.array(list(set(X_all)))` (ascending for a 0..n-1 pool) indexed
+    by the full argsort. Returns X_L_next sorted."""
+    all_x_u = np.array(list(set(x_all.tolist())))
+    arg = np.asarray(uncertainty).argsort()
+    x_l_next = all_x_u[arg[-(x_s_size + len(x_l)):]]
     x_l_next.sort()
     return x_l_next
