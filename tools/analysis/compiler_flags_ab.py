@@ -36,6 +36,8 @@ PRESETS = {
     "vmem40m": {"xla_tpu_scoped_vmem_limit_kib": "40960"},
     "vmem48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
     "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "vmem128m": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
 }
 
 
@@ -49,6 +51,11 @@ def main():
                     choices=["retinanet", "ssd"],
                     help="which live family's scoring step to time "
                          "(the SSD step never had its own vmem sweep)")
+    ap.add_argument("--program", default="score", choices=["score", "train"],
+                    help="A/B the scoring step or the fused train step "
+                         "(per-program options: the 32 MiB scoring win "
+                         "REGRESSED train by 0.8-4.8%%, docs/PERF.md)")
+    ap.add_argument("--train-batch", type=int, default=8)
     args = ap.parse_args()
 
     opts = (PRESETS[args.which] if args.which in PRESETS
@@ -77,6 +84,17 @@ def main():
 
         cfg = RetinaNetConfig(compute_dtype=args.dtype)
         model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+
+    if args.program == "train":
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+        from bench import bench_train
+
+        res = bench_train(model, variables, cfg, args.train_batch, args.iters)
+        print(json.dumps({"which": args.which, "family": args.family,
+                          "program": "train", "options": opts,
+                          "img_s": res["value"], "batch": res["batch"]}))
+        return
+
     step = make_score_step(model, cfg)
     h, w = cfg.canvas
     b = args.batch

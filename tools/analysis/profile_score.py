@@ -62,6 +62,10 @@ def main():
                          "(extra compiles)")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak (v5e bf16 = 197, fp32 ~ 49)")
+    ap.add_argument("--family", default="retinanet",
+                    choices=["retinanet", "ssd"],
+                    help="ssd: forward / score-step stages + FLOPs "
+                         "utilization for the MEH-SSD300 scoring program")
     args = ap.parse_args()
 
     import jax
@@ -73,34 +77,47 @@ def main():
                       os.environ.get("AOD_JAX_CACHE", "/tmp/jaxcache"))
 
     from aod_meh_hua_tpu.engine import EvalBatch, make_score_step
-    from aod_meh_hua_tpu.models import init_retinanet
-    from aod_meh_hua_tpu.utils.config import RetinaNetConfig, tiny_test_config
 
-    cfg = tiny_test_config(compute_dtype=args.dtype) if args.mini \
-        else RetinaNetConfig(compute_dtype=args.dtype)
-    if args.s2d:
-        from dataclasses import replace as _rep
+    if args.family == "ssd":
+        from aod_meh_hua_tpu.models import init_ssd
+        from aod_meh_hua_tpu.utils.config import SSDConfig
 
-        cfg = _rep(cfg, stem_s2d=True)
-    model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
+        cfg = SSDConfig(compute_dtype=args.dtype)
+        if args.mini:
+            cfg = SSDConfig(compute_dtype=args.dtype, width_mult=0.125,
+                            max_gt=8)
+        model, variables = init_ssd(cfg, jax.random.PRNGKey(0))
+    else:
+        from aod_meh_hua_tpu.models import init_retinanet
+        from aod_meh_hua_tpu.utils.config import (RetinaNetConfig,
+                                                  tiny_test_config)
+
+        cfg = tiny_test_config(compute_dtype=args.dtype) if args.mini \
+            else RetinaNetConfig(compute_dtype=args.dtype)
+        if args.s2d:
+            from dataclasses import replace as _rep
+
+            cfg = _rep(cfg, stem_s2d=True)
+        model, variables = init_retinanet(cfg, jax.random.PRNGKey(0))
     h, w = cfg.canvas
     b = args.batch
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * 0.2)
-    shp = (h, w) if args.mini else (600, 1000)
+    shp = (h, w) if (args.mini or args.family == "ssd") else (600, 1000)
     batch = EvalBatch(images, jnp.asarray(np.tile([list(shp)], (b, 1)).astype(np.int32)),
                       jnp.asarray(np.full((b, 4), 1.0, np.float32)),
                       jnp.ones(b, dtype=bool))
 
-    backbone = jax.jit(lambda v, x: model.apply(
-        v, x, method=lambda m, xx: m.backbone(xx)))
-    feats = jax.jit(lambda v, x: model.apply(v, x, method=MEH_features))
     fwd = jax.jit(lambda v, x: model.apply(v, x))
     score = make_score_step(model, cfg)
 
     stages = {}
-    stages["backbone"] = timed(backbone, variables, images, args.iters)
-    stages["backbone+fpn"] = timed(feats, variables, images, args.iters)
+    if args.family == "retinanet":
+        backbone = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda m, xx: m.backbone(xx)))
+        feats = jax.jit(lambda v, x: model.apply(v, x, method=MEH_features))
+        stages["backbone"] = timed(backbone, variables, images, args.iters)
+        stages["backbone+fpn"] = timed(feats, variables, images, args.iters)
     stages["forward(all heads)"] = timed(fwd, variables, images, args.iters)
     if args.sub:
         import functools
