@@ -222,31 +222,49 @@ def _default_pipeline(cfg) -> PipelineConfig:
 class Detector:
     """Convenience wrapper caching the per-orientation compiled eval steps."""
 
-    def __init__(self, cfg, model, variables, pipeline: Optional[PipelineConfig] = None):
+    def __init__(self, cfg, model, variables, pipeline: Optional[PipelineConfig] = None,
+                 with_uncertainty: bool = False):
+        """with_uncertainty (retinanet/ssd families): per-class results
+        become [k, 6] with the per-detection Shannon entropy appended —
+        the reference's bbox2tupleresult capability; show_result renders
+        the extra column like versatile_imshow_det_bboxes
+        (core/visualization/image.py:260-262)."""
+        if with_uncertainty and getattr(cfg, "family", "retinanet") not in (
+                "retinanet", "ssd"):
+            raise ValueError("with_uncertainty is a retinanet/ssd capability")
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.pipeline = pipeline or _default_pipeline(cfg)
+        self.with_uncertainty = with_uncertainty
         self._steps = {}
 
     def _step(self, orientation: str):
         if orientation not in self._steps:
-            self._steps[orientation] = make_eval_step_for(
-                self.model, self.cfg.for_orientation(orientation)
-            )
+            ocfg = self.cfg.for_orientation(orientation)
+            if self.with_uncertainty:
+                self._steps[orientation] = make_eval_step(
+                    self.model, ocfg, with_uncertainty=True)
+            else:
+                self._steps[orientation] = make_eval_step_for(self.model, ocfg)
         return self._steps[orientation]
 
     def __call__(self, image: Union[str, np.ndarray]) -> List[np.ndarray]:
         """One image (path or BGR array) -> per-class [k, 5] arrays in
-        original image coordinates (the reference's bbox2result format)."""
+        original image coordinates (the reference's bbox2result format);
+        [k, 6] with per-detection uncertainty when with_uncertainty."""
         img = load_image(image) if isinstance(image, str) else image
         s = prepare_sample(img, None, self.pipeline, flip=False)
         batch = EvalBatch(
             s["image"][None], s["img_shape"][None], s["scale_factor"][None],
             np.ones(1, bool),
         )
-        dets = self._step(s["orientation"])(self.variables, batch)
-        return detections_to_per_class(dets, self.cfg.num_fg_classes)[0]
+        out = self._step(s["orientation"])(self.variables, batch)
+        if self.with_uncertainty:
+            dets, unc = out
+            return detections_to_per_class(
+                dets, self.cfg.num_fg_classes, unc=unc)[0]
+        return detections_to_per_class(out, self.cfg.num_fg_classes)[0]
 
     def tta(self, image: Union[str, np.ndarray],
             scales: Optional[Sequence] = None,
@@ -462,20 +480,27 @@ def show_result(
     score_thr: float = 0.3,
 ):
     """Reference show_result_pyplot analog: draw per-class detections on
-    the original image; returns (and optionally saves) the BGR array."""
+    the original image; returns (and optionally saves) the BGR array.
+    6-column rows (bbox2tupleresult format) also render the per-det
+    uncertainty, like versatile_imshow_det_bboxes's `label|unc` text
+    (core/visualization/image.py:260-262)."""
     from .data.pipeline import load_image as _load
     from .utils.visualize import draw_detections, save_image
 
     img = _load(image) if isinstance(image, str) else image.copy()
-    boxes, labels, scores = [], [], []
+    boxes, labels, scores, uncs = [], [], [], []
     for c, arr in enumerate(per_class_dets):
         for row in arr:
             boxes.append(row[:4])
             scores.append(row[4])
             labels.append(c)
+            if len(row) > 5:
+                uncs.append(row[5])
     if boxes:
-        img = draw_detections(img, np.asarray(boxes), np.asarray(labels),
-                              np.asarray(scores), score_thr=score_thr)
+        img = draw_detections(
+            img, np.asarray(boxes), np.asarray(labels), np.asarray(scores),
+            uncertainties=np.asarray(uncs) if len(uncs) == len(boxes) else None,
+            score_thr=score_thr)
     if out_file:
         save_image(img, out_file)
     return img

@@ -25,7 +25,13 @@ from .batch import EvalBatch, prepare_images, ConstArg
 from .postprocess import make_candidate_selector
 
 
-def make_eval_step(model, cfg: RetinaNetConfig):
+def make_eval_step(model, cfg: RetinaNetConfig, with_uncertainty: bool = False):
+    """with_uncertainty: also return the per-DETECTION Shannon entropy of
+    each NMS survivor's foreground class distribution — the reference's
+    per-det uncertainty that bbox2tupleresult carries into results and
+    versatile_imshow_det_bboxes draws as the 6th column
+    (core/bbox/transforms.py:118, core/visualization/image.py:260-262;
+    producer formula L_anchor_head.py:473-481)."""
     select, anchors_host = make_candidate_selector(cfg)
     t = cfg.test
 
@@ -41,7 +47,14 @@ def make_eval_step(model, cfg: RetinaNetConfig):
         dets = batched_multiclass_nms(
             boxes, fg_scores, t.score_thr, t.nms_iou_thr, t.max_per_img, t.pre_nms_cands
         )
-        return dets
+        if not with_uncertainty:
+            return dets
+        # H(p) over the survivor anchor's FG scores (nms_scores entropy,
+        # L_anchor_head.py:478-479), gathered via the NMS keep indices
+        p = fg_scores
+        h = -(p * jnp.log(jnp.maximum(p, 1e-38))).sum(axis=-1)  # [B, A]
+        det_unc = jnp.take_along_axis(h, dets.anchor_idx, axis=1)  # [B, K]
+        return dets, jnp.where(dets.valid, det_unc, 0.0)
 
     jfn = jax.jit(eval_step)
     anchors_arg = ConstArg(anchors_host)
@@ -54,13 +67,20 @@ def make_eval_step(model, cfg: RetinaNetConfig):
     return step
 
 
-def detections_to_per_class(dets, num_classes: int, batch_valid=None) -> List[List[np.ndarray]]:
+def detections_to_per_class(dets, num_classes: int, batch_valid=None,
+                            unc=None) -> List[List[np.ndarray]]:
     """Device NMSResult -> the reference's bbox2result format:
-    per image, per class float32 arrays [k, 5] (x1, y1, x2, y2, score)."""
+    per image, per class float32 arrays [k, 5] (x1, y1, x2, y2, score).
+
+    With `unc` ([B, K] per-detection uncertainty from
+    make_eval_step(with_uncertainty=True)) the arrays are [k, 6] with
+    the uncertainty appended — the bbox2tupleresult format
+    (core/bbox/transforms.py:118-124)."""
     boxes = np.asarray(dets.boxes)
     scores = np.asarray(dets.scores)
     labels = np.asarray(dets.labels)
     valid = np.asarray(dets.valid)
+    unc = None if unc is None else np.asarray(unc)
     out = []
     for i in range(boxes.shape[0]):
         if batch_valid is not None and not batch_valid[i]:
@@ -68,9 +88,10 @@ def detections_to_per_class(dets, num_classes: int, batch_valid=None) -> List[Li
         per_cls = []
         for c in range(num_classes):
             m = valid[i] & (labels[i] == c)
-            per_cls.append(
-                np.concatenate([boxes[i][m], scores[i][m][:, None]], axis=1).astype(np.float32)
-            )
+            cols = [boxes[i][m], scores[i][m][:, None]]
+            if unc is not None:
+                cols.append(unc[i][m][:, None])
+            per_cls.append(np.concatenate(cols, axis=1).astype(np.float32))
         out.append(per_cls)
     return out
 

@@ -122,3 +122,46 @@ def test_batcher_propagates_errors(detector):
     batcher = serve_mod.Batcher(Boom(), max_batch=2, delay_ms=1.0)
     with pytest.raises(RuntimeError, match="boom"):
         batcher.predict(_images(n=1)[0])
+
+
+def test_detector_with_uncertainty_six_columns(detector, tmp_path):
+    """bbox2tupleresult capability (core/bbox/transforms.py:118): the
+    with_uncertainty Detector appends the survivor anchor's FG-score
+    Shannon entropy (L_anchor_head.py:478-479) as a 6th column, the
+    5-col boxes/scores are unchanged, and show_result renders it."""
+    import dataclasses
+
+    from aod_meh_hua_tpu.api import Detector, show_result
+
+    cfg = detector.cfg
+    # a permissive score threshold so the untrained net emits detections
+    cfg_lo = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, score_thr=1e-4))
+    det_u = Detector(cfg_lo, detector.model, detector.variables,
+                     pipeline=detector.pipeline, with_uncertainty=True)
+    det_p = Detector(cfg_lo, detector.model, detector.variables,
+                     pipeline=detector.pipeline)
+    img = _images(1)[0]
+    res_u, res_p = det_u(img), det_p(img)
+    n_dets = sum(len(a) for a in res_u)
+    assert n_dets > 0, "threshold too strict: nothing to check"
+    for a_u, a_p in zip(res_u, res_p):
+        assert a_u.shape[1] == 6 and a_p.shape[1] == 5
+        np.testing.assert_allclose(a_u[:, :5], a_p, rtol=1e-6)
+        if len(a_u):
+            # entropy of a C-way distribution is bounded by log C
+            assert (a_u[:, 5] >= 0).all()
+            assert (a_u[:, 5] <= np.log(cfg.num_fg_classes) + 1e-4).all()
+    out = str(tmp_path / "unc.jpg")
+    show_result(img, res_u, out_file=out, score_thr=0.0)
+    assert os.path.exists(out)
+
+
+def test_with_uncertainty_rejects_other_families():
+    from types import SimpleNamespace
+
+    from aod_meh_hua_tpu.api import Detector
+
+    with pytest.raises(ValueError, match="retinanet/ssd"):
+        Detector(SimpleNamespace(family="fcos"), None, None,
+                 with_uncertainty=True)
