@@ -85,8 +85,14 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def make_mesh_2d(n_data: int, n_fsdp: int,
-                 axes: tuple = ("data", "fsdp")) -> Mesh:
-    devices = jax.devices()
+                 axes: tuple = ("data", "fsdp"),
+                 devices: Optional[list] = None) -> Mesh:
+    """devices: explicit device list — needed when the process holds
+    more than one backend (e.g. a TPU plugin plus the forced-CPU
+    virtual mesh in __graft_entry__.dryrun_multichip), where
+    jax.devices() returns the default platform's devices only."""
+    if devices is None:
+        devices = jax.devices()
     need = n_data * n_fsdp
     if len(devices) < need:
         raise ValueError(f"need {need} devices ({n_data} data x {n_fsdp} "
