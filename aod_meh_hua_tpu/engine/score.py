@@ -151,7 +151,13 @@ def make_scale_core(cfg: RetinaNetConfig) -> Callable:
             return hua_scale_scores(
                 levels, lams, agg, fg_score_thr=hua.fg_score_thr,
                 lambda_eps=hua.lambda_eps, lambda_scale=hua.lambda_scale,
-                unc_type=unc_type, mi_fn=mi, num_fg_classes=cfg.num_fg_classes,
+                unc_type=unc_type, mi_fn=mi,
+                # FG gate over foreground columns only: a no-op for the
+                # retina family (no background column) but REQUIRED for
+                # SSD, whose softmax includes background at ~0.9 —
+                # gating on all columns would enable every level
+                # (My_L_ssd_head.py:493 uses alphas[:, :-1])
+                num_fg_classes=cfg.num_fg_classes,
             )
 
         lam_arg = lambdas if with_lambda else jnp.zeros_like(cls_scores[..., 0])

@@ -306,6 +306,143 @@ def score_image(
             "n_objects": n_obj, "n_pairs_over_thr": n_pairs}
 
 
+def score_image_ssd(
+    level_logits: Sequence[np.ndarray],
+    level_deltas: Sequence[np.ndarray],
+    level_lambda: Sequence[np.ndarray],
+    level_anchors: Sequence[np.ndarray],
+    img_shape: Tuple[int, int],
+    scale_factor: np.ndarray,
+    *,
+    nms_pre: int = 1000,
+    score_thr: float = 0.02,
+    nms_iou_thr: float = 0.5,
+    max_per_img: int = 200,
+    obj_score_thr: float = 0.3,
+    memb_iou_thr: float = 0.5,
+    fg_score_thr: float = 0.3,
+    lambda_eps: float = 1e-7,
+    lambda_scale: float = 25.0,
+    agg: str = "objectSum_scaleMax_classSum",
+    target_means=(0.0, 0.0, 0.0, 0.0),
+    target_stds=(0.1, 0.1, 0.2, 0.2),
+    mi: str = "closed",
+    mi_samples: int = 500,
+    rng: Optional[np.random.RandomState] = None,
+) -> Dict:
+    """One pool image through the SSD (softmax-family) reference chain —
+    the My_L_ssd_head sibling of score_image:
+
+    * `_get_bboxes` (My_L_ssd_head.py:317-414): scores = softmax over
+      C+1 INCLUDING the explicit background column; per-level top-k
+      ranked by the max over FOREGROUND columns only (scores[..., :-1]);
+      decode with the SSD coder stds; rescale before NMS.
+    * mmdet multiclass_nms strips the background column itself
+      (`scores[:, :-1]`, bbox_nms.py:26) — NMS sees foreground scores.
+    * GetObjectIdx (My_L_ssd_head.py:391-395): same 0.3/0.5 thresholds.
+    * ComputeObjUnc (My_L_ssd_head.py:435-484): the per-level skip gates
+      on the FULL-map softmax max over FOREGROUND columns
+      (`slvl_alphas[:, :-1]`, :446) — unlike retina's all-column max —
+      while the per-anchor pair gate uses `topk_score.max(dim=1)` over
+      ALL columns (:464, background included); the Dirichlet runs over
+      all C+1 columns (module global ignoreBG = False, :19) and the
+      class cell key is argmax over all columns (background can be a
+      'class').
+    * AggregateObjScaleUnc (My_L_ssd_head.py:520-543) — identical
+      reduction; getMaxConf (functions.py:467-476) maxes the softmax
+      over ALL columns, so SSD maxconf is usually the background prob.
+
+    Same return dict as score_image.
+    """
+    n_levels = len(level_logits)
+    topk_scores, topk_boxes, topk_lams = [], [], []
+    maxconf = 0.0
+    for lvl in range(n_levels):
+        logits = np.asarray(level_logits[lvl], np.float64)
+        scores = softmax(logits)  # [A_l, C+1] incl. background
+        maxconf = max(maxconf, float(scores.max()))  # getMaxConf: ALL cols
+        deltas = np.asarray(level_deltas[lvl], np.float64)
+        anchors = np.asarray(level_anchors[lvl], np.float64)
+        lams = np.asarray(level_lambda[lvl], np.float64)
+        if 0 < nms_pre < scores.shape[0]:
+            max_scores = scores[:, :-1].max(axis=1)  # FG columns only
+            topk = np.argsort(-max_scores, kind="stable")[:nms_pre]
+            scores, deltas, anchors, lams = (
+                scores[topk], deltas[topk], anchors[topk], lams[topk])
+        boxes = delta2bbox(anchors, deltas, target_means, target_stds,
+                           max_shape=img_shape)
+        topk_scores.append(scores)
+        topk_boxes.append(boxes)
+        topk_lams.append(lams)
+
+    mlvl_boxes = np.concatenate(topk_boxes, axis=0)
+    # rescale=True in the pool sweep (apis/test.py:115)
+    mlvl_boxes = mlvl_boxes / np.asarray(scale_factor, np.float64)
+    all_scores = np.concatenate(topk_scores, axis=0)  # incl. background
+    fg_scores = all_scores[:, :-1]
+    n_pairs = int((fg_scores > score_thr).sum())
+
+    dets, _labels = multiclass_nms(
+        mlvl_boxes, fg_scores, score_thr, nms_iou_thr, max_per_img)
+
+    # GetObjectIdx (My_L_ssd_head.py:391-395)
+    filtered = dets[dets[:, -1] > obj_score_thr]
+    membership = bbox_overlaps(mlvl_boxes, filtered[:, :4]) > memb_iou_thr
+
+    # ComputeObjUnc (My_L_ssd_head.py:435-484)
+    n_obj = membership.shape[1]
+    out: List[List[Dict]] = [[{} for _ in range(n_levels)] for _ in range(n_obj)]
+    start = 0
+    for lvl in range(n_levels):
+        end = start + topk_scores[lvl].shape[0]
+        full_probs = softmax(np.asarray(level_logits[lvl], np.float64))
+        # FG skip over FOREGROUND columns of the full map (:446)
+        if not (full_probs[:, :-1].max(axis=1) > fg_score_thr).any():
+            start = end
+            continue
+        pos_bbox = membership[start:end]
+        start = end
+        if not pos_bbox.any():
+            continue
+        topk_score = topk_scores[lvl]
+        # pair gate over ALL columns (background included, :464)
+        fg_pos = pos_bbox & (topk_score.max(axis=1) > fg_score_thr)[:, None]
+        pos_idx, obj_info = np.nonzero(fg_pos)
+        if len(pos_idx) == 0:
+            continue
+        pos_scores = topk_score[pos_idx]
+        pos_l = topk_lams[lvl][pos_idx]
+        pos_l = pos_l.mean() / (pos_l + lambda_eps) * lambda_scale
+        pos_alphas = pos_scores * pos_l[:, None]  # all C+1 cols (ignoreBG=False)
+        if mi == "closed":
+            epistemic, aleatoric = dirichlet_mi_closed(pos_alphas)
+        else:
+            epistemic, aleatoric = dirichlet_mi_sampled(pos_alphas, rng, mi_samples)
+        pos_cls = pos_scores.argmax(axis=1)  # all cols: bg is a valid cell
+        for obj in np.unique(obj_info):
+            obj_mask = obj_info == obj
+            for cls in np.unique(pos_cls[obj_mask]):
+                sel = obj_mask & (pos_cls == cls)
+                out[obj][lvl][str(cls)] = (
+                    float(aleatoric[sel].mean()), float(epistemic[sel].mean()))
+
+    # AggregateObjScaleUnc (My_L_ssd_head.py:520-543)
+    funcs = extract_agg_funcs(agg)
+    unc_objs = []
+    for obj in range(n_obj):
+        unc_scales = []
+        for lvl in range(n_levels):
+            unc_clss = [epi for (_ale, epi) in out[obj][lvl].values()]
+            if unc_clss:
+                unc_scales.append(float(funcs["class"](np.asarray(unc_clss))))
+        if unc_scales:
+            unc_objs.append(float(funcs["scale"](np.asarray(unc_scales))))
+    unc = float(funcs["object"](np.asarray(unc_objs))) if unc_objs else 0.0
+
+    return {"unc": unc, "maxconf": maxconf, "n_dets": int(len(dets)),
+            "n_objects": n_obj, "n_pairs_over_thr": n_pairs}
+
+
 def score_image_scale(
     level_logits: Sequence[np.ndarray],
     level_lambda: Optional[Sequence[np.ndarray]],
